@@ -1,0 +1,279 @@
+"""Scene data as fixed-shape numpy arrays — the on-disk / in-memory schema.
+
+The reference keeps scenes as pickles of Python object graphs
+(/root/reference/datapreparation/kitti360pose/imports.py:8-247) and re-walks
+them in every Dataset __getitem__. Here a scene is a flat bundle of padded
+arrays; batch assembly is pure integer gathering, and every augmentation
+(flip, hint shuffle, point resampling/rotation) runs on device.
+
+Shapes: C cells, O object slots per cell (>= the coarse object_size cap),
+P stored points per object, N poses, S hints per pose.
+
+Padding object slots carry the reference's padding-object content
+(imports.py:74-83): a tiny random cloud (x0.001), zero rgb, class "pad",
+nearest-color "black", 8 points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from text2loc_tpu import constants as C
+
+
+@dataclass
+class SceneArrays:
+    scene_name: str
+    cell_ids: List[str]          # len C, reference id format "{scene}_{idx:05d}"
+    cell_bbox: np.ndarray        # [C, 6] world bbox (xmin ymin zmin xmax ymax zmax)
+    cell_size: np.ndarray        # [C]
+    obj_xyz: np.ndarray          # [C, O, P, 3] normalized-in-cell coords
+    obj_rgb: np.ndarray          # [C, O, P, 3]
+    obj_center: np.ndarray       # [C, O, 3]
+    obj_color: np.ndarray        # [C, O, 3] mean rgb of original cloud
+    obj_num_points: np.ndarray   # [C, O] original point counts (float32)
+    obj_class: np.ndarray        # [C, O] int32
+    obj_color_idx: np.ndarray    # [C, O] int32
+    obj_mask: np.ndarray         # [C, O] bool
+    pose_cell_idx: np.ndarray    # [N] int32 (best cell, scene-local index)
+    pose_w: np.ndarray           # [N, 3] world coords
+    pose_in_cell: np.ndarray     # [N, 2] normalized pose in best cell
+    hint_dir: np.ndarray         # [N, S] int32 direction vocab index
+    hint_color: np.ndarray       # [N, S] int32
+    hint_label: np.ndarray       # [N, S] int32
+    hint_obj_idx: np.ndarray     # [N, S] int32 object slot in best cell, -1 unmatched
+    hint_matched: np.ndarray     # [N, S] bool
+    offset_center: np.ndarray    # [N, S, 2] pose-cell center offsets
+    offset_closest: np.ndarray   # [N, S, 2] pose-cell closest-point offsets
+    best_offset_center: np.ndarray   # [N, S, 2]
+    best_offset_closest: np.ndarray  # [N, S, 2]
+
+    @property
+    def num_cells(self) -> int:
+        return len(self.cell_ids)
+
+    @property
+    def num_poses(self) -> int:
+        return self.pose_w.shape[0]
+
+    def save_npz(self, path: str):
+        arrays = dataclasses.asdict(self)
+        arrays["cell_ids"] = np.array(self.cell_ids)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "SceneArrays":
+        data = dict(np.load(path, allow_pickle=False))
+        data["scene_name"] = str(data["scene_name"])
+        data["cell_ids"] = [str(x) for x in data["cell_ids"]]
+        return cls(**data)
+
+
+def fill_padding_slots(scene: SceneArrays, rng: np.random.Generator) -> SceneArrays:
+    """Write reference-style padding-object content into invalid object slots."""
+    c, o, p, _ = scene.obj_xyz.shape
+    pad = ~scene.obj_mask
+    n_pad = int(pad.sum())
+    if n_pad == 0:
+        return scene
+    pad_xyz = rng.random((n_pad, p, 3), dtype=np.float32) * 0.001
+    scene.obj_xyz[pad] = pad_xyz
+    scene.obj_rgb[pad] = 0.0
+    scene.obj_center[pad] = pad_xyz.mean(axis=1)
+    scene.obj_color[pad] = 0.0
+    scene.obj_num_points[pad] = 8.0
+    scene.obj_class[pad] = C.PAD_CLASS_INDEX
+    # Nearest color centroid to rgb (0,0,0) is "black".
+    scene.obj_color_idx[pad] = int(np.argmin(np.linalg.norm(C.COLORS, axis=1)))
+    return scene
+
+
+class MultiSceneArrays:
+    """Concatenation of scenes with a global cell gallery.
+
+    Mirrors Kitti360CoarseDatasetMulti / Kitti360FineDatasetMulti
+    (dataloading/kitti360pose/cells.py:113-187, poses.py:528-587): poses and
+    cells from all scenes with globally unique cell indices.
+    """
+
+    def __init__(self, scenes: Sequence[SceneArrays]):
+        assert len(scenes) > 0
+        self.scenes = list(scenes)
+        self.cell_ids: List[str] = []
+        self.cell_scene_idx_list: List[int] = []
+        offsets = []
+        off = 0
+        for si, s in enumerate(self.scenes):
+            offsets.append(off)
+            self.cell_ids.extend(s.cell_ids)
+            self.cell_scene_idx_list.extend([si] * s.num_cells)
+            off += s.num_cells
+        assert len(set(self.cell_ids)) == len(self.cell_ids), "cell ids must be unique"
+        self._cell_offsets = np.array(offsets, dtype=np.int64)
+
+        def cat(name):
+            return np.concatenate([getattr(s, name) for s in self.scenes], axis=0)
+
+        # Global cell-side arrays.
+        self.cell_bbox = cat("cell_bbox")
+        self.cell_size = cat("cell_size")
+        self.obj_xyz = cat("obj_xyz")
+        self.obj_rgb = cat("obj_rgb")
+        self.obj_center = cat("obj_center")
+        self.obj_color = cat("obj_color")
+        self.obj_num_points = cat("obj_num_points")
+        self.obj_class = cat("obj_class")
+        self.obj_color_idx = cat("obj_color_idx")
+        self.obj_mask = cat("obj_mask")
+        self.cell_scene_idx = np.array(self.cell_scene_idx_list, dtype=np.int32)
+
+        # Global pose-side arrays (cell idx re-based to the global gallery).
+        self.pose_cell_idx = np.concatenate(
+            [s.pose_cell_idx + offsets[si] for si, s in enumerate(self.scenes)]
+        ).astype(np.int32)
+        self.pose_scene_idx = np.concatenate(
+            [np.full(s.num_poses, si, np.int32) for si, s in enumerate(self.scenes)]
+        )
+        for name in (
+            "pose_w",
+            "pose_in_cell",
+            "hint_dir",
+            "hint_color",
+            "hint_label",
+            "hint_obj_idx",
+            "hint_matched",
+            "offset_center",
+            "offset_closest",
+            "best_offset_center",
+            "best_offset_closest",
+        ):
+            setattr(self, name, cat(name))
+
+    @property
+    def num_cells(self) -> int:
+        return len(self.cell_ids)
+
+    @property
+    def num_poses(self) -> int:
+        return self.pose_w.shape[0]
+
+    @property
+    def object_slots(self) -> int:
+        return self.obj_xyz.shape[1]
+
+    @property
+    def stored_points(self) -> int:
+        return self.obj_xyz.shape[2]
+
+    # ------------------------------------------------------------------
+    # Batch gathering (host-side numpy; everything downstream is on-device)
+    # ------------------------------------------------------------------
+
+    def gather_cell_objects(self, cell_indices: np.ndarray, o_cap: int) -> Dict[str, np.ndarray]:
+        """Object arrays for the given cells, truncated to `o_cap` slots.
+
+        The reference truncates cell objects beyond object_size
+        (cell_retrieval.py:97); slots are stored real-objects-first so a plain
+        slice is the same truncation.
+        """
+        ci = np.asarray(cell_indices)
+        assert o_cap <= self.object_slots, (o_cap, self.object_slots)
+        return {
+            "xyz": self.obj_xyz[ci, :o_cap],
+            "rgb": self.obj_rgb[ci, :o_cap],
+            "center": self.obj_center[ci, :o_cap],
+            "color": self.obj_color[ci, :o_cap],
+            "num_points": self.obj_num_points[ci, :o_cap],
+            "class_idx": self.obj_class[ci, :o_cap],
+            "color_idx": self.obj_color_idx[ci, :o_cap],
+            "mask": self.obj_mask[ci, :o_cap],
+        }
+
+    def gather_coarse(self, pose_indices: np.ndarray, object_size: int) -> Dict[str, np.ndarray]:
+        """Per-pose coarse sample: positive cell objects + hint triples."""
+        pi = np.asarray(pose_indices)
+        cells = self.pose_cell_idx[pi]
+        out = self.gather_cell_objects(cells, object_size)
+        out.update(
+            cell_index=cells.astype(np.int32),
+            hint_dir=self.hint_dir[pi],
+            hint_color=self.hint_color[pi],
+            hint_label=self.hint_label[pi],
+            pose_in_cell=self.pose_in_cell[pi],
+            pose_w=self.pose_w[pi],
+        )
+        return out
+
+    def fine_object_order(self, pose_indices: np.ndarray, cell_indices: np.ndarray,
+                          pad_size: int, hint_obj_idx: Optional[np.ndarray] = None) -> np.ndarray:
+        """Matched-objects-first slot ordering for the fine stage.
+
+        Replicates dataloading/kitti360pose/poses.py:90-121: matched objects in
+        hint order first, then distractors in storage order, truncated/padded
+        to pad_size. Returns [B, pad_size] indices into the cell's O slots;
+        indices of pad slots point at stored padding content.
+        """
+        pi = np.asarray(pose_indices)
+        ci = np.asarray(cell_indices)
+        b = len(pi)
+        o = self.object_slots
+        order = np.zeros((b, pad_size), dtype=np.int32)
+        matched_src = self.hint_obj_idx[pi] if hint_obj_idx is None else hint_obj_idx
+        for i in range(b):
+            matched = [int(m) for m in matched_src[i] if m >= 0]
+            seen = set(matched)
+            rest = [j for j in range(o) if j not in seen]
+            full = (matched + rest)[:pad_size]
+            # Pad with trailing (padding-content) slots if the cell has fewer
+            # slots than pad_size — cannot happen when O >= pad_size.
+            while len(full) < pad_size:
+                full.append(o - 1)
+            order[i] = full
+        return order
+
+    def gather_fine(self, pose_indices: np.ndarray, pad_size: int,
+                    cell_indices: Optional[np.ndarray] = None,
+                    hint_obj_idx: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        """Per-pose fine sample against its best cell (or a supplied cell).
+
+        Target = absolute normalized pose in the candidate cell
+        (regressor_cell="all", poses.py:74-75).
+        """
+        pi = np.asarray(pose_indices)
+        ci = self.pose_cell_idx[pi] if cell_indices is None else np.asarray(cell_indices)
+        order = self.fine_object_order(pi, ci, pad_size, hint_obj_idx=hint_obj_idx)
+        bidx = np.arange(len(pi))[:, None]
+        out = {
+            "xyz": self.obj_xyz[ci[:, None], order],
+            "rgb": self.obj_rgb[ci[:, None], order],
+            "center": self.obj_center[ci[:, None], order],
+            "color": self.obj_color[ci[:, None], order],
+            "num_points": self.obj_num_points[ci[:, None], order],
+            "class_idx": self.obj_class[ci[:, None], order],
+            "color_idx": self.obj_color_idx[ci[:, None], order],
+            "mask": self.obj_mask[ci[:, None], order],
+        }
+        bbox = self.cell_bbox[ci]
+        size = np.maximum(bbox[:, 3] - bbox[:, 0], 1e-9)
+        target = np.stack(
+            [
+                (self.pose_w[pi, 0] - bbox[:, 0]) / size,
+                (self.pose_w[pi, 1] - bbox[:, 1]) / np.maximum(bbox[:, 4] - bbox[:, 1], 1e-9),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        out.update(
+            cell_index=ci.astype(np.int32),
+            hint_dir=self.hint_dir[pi],
+            hint_color=self.hint_color[pi],
+            hint_label=self.hint_label[pi],
+            target=target,
+            pose_in_cell=self.pose_in_cell[pi].astype(np.float32),
+            pose_w=self.pose_w[pi],
+        )
+        del bidx
+        return out

@@ -1,0 +1,120 @@
+"""Gallery encoding and on-device top-k retrieval.
+
+The reference scores each query against the full cell gallery with a per-query
+host numpy matmul + argsort (/root/reference/training/coarse.py:119-125). Here
+the whole retrieval is one on-device [Q, D] @ [D, C] matmul + `lax.top_k` —
+MXU-bound and jitted once. The sharded multi-chip variant (gallery split over
+the mesh, per-shard top-k + ICI merge) lives in text2loc_tpu.parallel.retrieval.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.data.arrays import MultiSceneArrays
+from text2loc_tpu.evaluation import metrics
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training.steps import TrainState, make_coarse_encoders
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_retrieval(cell_enc: jax.Array, text_enc: jax.Array, k: int):
+    """Top-k gallery indices per query by descending inner product.
+
+    cell_enc: [C, D]; text_enc: [Q, D] (both L2-normalized by the towers).
+    Returns (scores [Q, k], indices [Q, k]).
+    """
+    scores = jnp.einsum(
+        "qd,cd->qc", text_enc.astype(jnp.float32), cell_enc.astype(jnp.float32)
+    )
+    return jax.lax.top_k(scores, k)
+
+
+def _batched(n: int, batch: int):
+    for start in range(0, n, batch):
+        yield np.arange(start, min(start + batch, n))
+
+
+def encode_gallery(
+    data: MultiSceneArrays,
+    state: TrainState,
+    encode_cells,
+    cfg: Config,
+    rng: jax.Array,
+) -> np.ndarray:
+    """Encode every cell of the gallery (reference coarse.py:104-113).
+
+    Pads the final batch to keep a single compiled shape.
+    """
+    bsz = cfg.eval.batch_size
+    d = cfg.model.coarse_embed_dim
+    out = np.zeros((data.num_cells, d), np.float32)
+    for idx in _batched(data.num_cells, bsz):
+        full = np.resize(idx, bsz)  # pad by wrapping; extra rows discarded
+        batch = data.gather_cell_objects(full, cfg.model.object_size)
+        enc = encode_cells(state.params, state.batch_stats, batch, rng)
+        out[idx] = np.asarray(enc)[: len(idx)]
+    return out
+
+
+def encode_queries(
+    data: MultiSceneArrays,
+    state: TrainState,
+    encode_text,
+    cfg: Config,
+) -> np.ndarray:
+    """Encode every pose's hint set (reference coarse.py:89-101)."""
+    bsz = cfg.eval.batch_size
+    d = cfg.model.coarse_embed_dim
+    out = np.zeros((data.num_poses, d), np.float32)
+    for idx in _batched(data.num_poses, bsz):
+        full = np.resize(idx, bsz)
+        batch = {
+            "hint_dir": data.hint_dir[full],
+            "hint_color": data.hint_color[full],
+            "hint_label": data.hint_label[full],
+        }
+        enc = encode_text(state.params, state.batch_stats, batch)
+        out[idx] = np.asarray(enc)[: len(idx)]
+    return out
+
+
+def eval_retrieval(
+    data: MultiSceneArrays,
+    state: TrainState,
+    model,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+    top_k: Optional[Sequence[int]] = None,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[Dict[int, float], Dict[int, float], np.ndarray]:
+    """Full eval_epoch equivalent (reference training/coarse.py:63-157).
+
+    Returns (top-k recall, close recall, retrieved gallery indices [Q, max_k]).
+    """
+    top_k = tuple(top_k) if top_k is not None else cfg.train.top_k
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    encode_cells, encode_text = make_coarse_encoders(model, embedder, cfg)
+
+    cell_enc = encode_gallery(data, state, encode_cells, cfg, rng)
+    text_enc = encode_queries(data, state, encode_text, cfg)
+    k = min(max(top_k), data.num_cells)
+    _, idx = topk_retrieval(jnp.asarray(cell_enc), jnp.asarray(text_enc), k)
+    idx = np.asarray(idx)
+
+    cell_centers = 0.5 * (data.cell_bbox[:, 0:2] + data.cell_bbox[:, 3:5])
+    acc, acc_close = metrics.retrieval_accuracies(
+        retrieved_cell_idx=idx,
+        target_cell_idx=data.pose_cell_idx,
+        pose_w=data.pose_w[:, :2],
+        cell_centers=cell_centers,
+        cell_size=float(data.cell_size[0]),
+        top_k=top_k,
+    )
+    return acc, acc_close, idx

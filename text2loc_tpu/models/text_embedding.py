@@ -1,0 +1,178 @@
+"""Frozen text embeddings as a precomputed lookup table.
+
+The reference runs a frozen, detached T5-large encoder on every batch
+(/root/reference/models/language_encoder.py:87-128). But the hint strings are
+fully templated — "The pose is {direction} of a {color} {label}." rendered from
+9 directions x 8 colors x 22 classes = 1,584 distinct sentences
+(dataloading/kitti360pose/base.py:60-68). Since the LLM is frozen, its output
+is a pure function of the sentence, so the TPU-native design computes the token
+embeddings ONCE per vocabulary entry and turns the entire text front-end into
+an integer gather from a [V, T, E] HBM-resident table — no tokenizer, no LLM
+forward, no host round-trip in the hot loop.
+
+Two table builders:
+* `from_t5` — runs HuggingFace T5 (torch, host CPU) over the rendered hint
+  vocabulary once. Requires local T5 weights; gated accordingly.
+* `compositional` — a deterministic stand-in "frozen LLM": a seeded random
+  word-embedding table composed through the hint template. Used when T5
+  weights are unavailable (tests, benches, offline training from scratch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2loc_tpu import constants as C
+from text2loc_tpu.data.batch import TextSet
+
+
+class HintTextEmbedder:
+    """Lookup-table embedder over the hint-triple vocabulary.
+
+    table: [V, T, E] frozen token embeddings, V = hint_vocab_size().
+    token_mask: [V, T] validity of each token slot.
+    """
+
+    def __init__(self, table: np.ndarray, token_mask: np.ndarray):
+        assert table.shape[0] == C.hint_vocab_size(), table.shape
+        assert token_mask.shape == table.shape[:2]
+        self.table = jnp.asarray(table)
+        self.token_mask = jnp.asarray(token_mask, dtype=bool)
+
+    @property
+    def max_tokens(self) -> int:
+        return self.table.shape[1]
+
+    @property
+    def embed_dim(self) -> int:
+        return self.table.shape[2]
+
+    def embed(self, hint_dir, hint_color, hint_label, sentence_mask=None) -> TextSet:
+        """Embed integer hint triples.
+
+        Args:
+            hint_dir/hint_color/hint_label: [B, S] int32.
+            sentence_mask: optional [B, S] bool; defaults to all-valid.
+
+        Returns:
+            TextSet with token_embeds [B, S, T, E].
+        """
+        ids = C.hint_id(hint_dir, hint_color, hint_label)
+        token_embeds = jnp.take(self.table, ids, axis=0)
+        token_mask = jnp.take(self.token_mask, ids, axis=0)
+        if sentence_mask is None:
+            sentence_mask = jnp.ones(ids.shape, dtype=bool)
+        return TextSet(token_embeds, token_mask, jnp.asarray(sentence_mask, bool))
+
+    # ------------------------------------------------------------------
+    # Builders
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def compositional(
+        cls, embed_dim: int = 1024, max_tokens: int = 16, seed: int = 17
+    ) -> "HintTextEmbedder":
+        """Deterministic frozen stand-in composed from per-word embeddings.
+
+        Each hint renders to the 9-word token stream
+        [The, pose, is, <dir>, of, a, <color>, <label>, .] so different hints
+        share template-word embeddings and differ compositionally in the
+        direction/color/label slots — structurally analogous to frozen-LLM
+        token outputs, which is what the trainable intra-module consumes.
+        """
+        template_words = ["The", "pose", "is", "of", "a", "."]
+        words = (
+            template_words
+            + [f"dir:{d}" for d in C.DIRECTIONS]
+            + [f"col:{i}" for i in range(C.NUM_COLORS)]
+            + [f"cls:{c}" for c in sorted(C.CLASS_TO_INDEX)]
+        )
+        word_to_id = {w: i for i, w in enumerate(words)}
+        rng = np.random.default_rng(seed)
+        word_emb = rng.standard_normal((len(words), embed_dim)).astype(np.float32)
+
+        V = C.hint_vocab_size()
+        table = np.zeros((V, max_tokens, embed_dim), dtype=np.float32)
+        token_mask = np.zeros((V, max_tokens), dtype=bool)
+        for d in range(C.NUM_DIRECTIONS):
+            for col in range(C.NUM_COLORS):
+                for lab in range(C.NUM_CLASSES):
+                    seq = [
+                        word_to_id["The"],
+                        word_to_id["pose"],
+                        word_to_id["is"],
+                        word_to_id[f"dir:{C.DIRECTIONS[d]}"],
+                        word_to_id["of"],
+                        word_to_id["a"],
+                        word_to_id[f"col:{col}"],
+                        word_to_id[f"cls:{C.INDEX_TO_CLASS[lab]}"],
+                        word_to_id["."],
+                    ][:max_tokens]
+                    hid = int(C.hint_id(d, col, lab))
+                    table[hid, : len(seq)] = word_emb[seq]
+                    token_mask[hid, : len(seq)] = True
+        return cls(table, token_mask)
+
+    @classmethod
+    def from_t5(
+        cls,
+        model_name_or_path: str,
+        max_tokens: int = 32,
+        batch_size: int = 64,
+        cache_path: Optional[str] = None,
+    ) -> "HintTextEmbedder":
+        """Build the table by running frozen T5 over the hint vocabulary once.
+
+        Equivalent to the reference's online frozen-T5 forward
+        (language_encoder.py:116-128) but amortized to a single offline pass.
+        Requires locally available HF weights (no network fetch is attempted
+        beyond what `transformers` does with local caches).
+        """
+        import os
+
+        if cache_path is not None and os.path.exists(cache_path):
+            data = np.load(cache_path)
+            return cls(data["table"], data["token_mask"])
+
+        import torch  # CPU-only torch is fine; this is a one-shot offline pass
+        from transformers import AutoTokenizer, T5EncoderModel
+
+        tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        model = T5EncoderModel.from_pretrained(model_name_or_path).eval()
+
+        sentences: List[str] = []
+        for d in range(C.NUM_DIRECTIONS):
+            for col in range(C.NUM_COLORS):
+                for lab in range(C.NUM_CLASSES):
+                    sentences.append(C.render_hint(d, col, lab))
+
+        embed_dim = model.config.d_model
+        V = len(sentences)
+        table = np.zeros((V, max_tokens, embed_dim), dtype=np.float32)
+        token_mask = np.zeros((V, max_tokens), dtype=bool)
+        with torch.no_grad():
+            for start in range(0, V, batch_size):
+                chunk = sentences[start : start + batch_size]
+                toks = tokenizer(
+                    chunk,
+                    return_tensors="pt",
+                    padding="max_length",
+                    truncation=True,
+                    max_length=max_tokens,
+                )
+                out = model(
+                    input_ids=toks["input_ids"], attention_mask=toks["attention_mask"]
+                ).last_hidden_state
+                table[start : start + len(chunk)] = out.numpy()
+                token_mask[start : start + len(chunk)] = (
+                    toks["attention_mask"].numpy().astype(bool)
+                )
+
+        if cache_path is not None:
+            np.savez_compressed(cache_path, table=table, token_mask=token_mask)
+        return cls(table, token_mask)

@@ -1,0 +1,74 @@
+"""Radius-limited K-nearest-neighbor query on fixed-shape point batches.
+
+TPU-native replacement for torch-cluster's `gnn.radius` fixed-radius neighbor
+search (/root/reference/models/pointcloud/pointnet2.py:28-34). The reference
+returns up to 32 arbitrary (insertion-ordered) neighbors within the radius; we
+return the K *nearest* within the radius plus a validity mask — a strictly
+better-defined neighborhood with identical shapes every call, which is what XLA
+needs to tile the downstream PointConv onto the MXU.
+
+Because query centers are always a subset of the source points (FPS output),
+each center has at least one valid neighbor (itself at distance 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ball_query_knn(src: jax.Array, query: jax.Array, radius: float, k: int):
+    """For each query point, the K nearest source points within `radius`.
+
+    Args:
+        src: [N, P, 3] source points.
+        query: [N, Q, 3] query centers (typically an FPS subset of src).
+        radius: neighborhood radius (same units as coordinates).
+        k: static neighbor budget.
+
+    Returns:
+        idx: [N, Q, K] int32 indices into the P axis. Invalid slots point at
+            the nearest valid neighbor (safe to gather).
+        mask: [N, Q, K] bool validity (True where the neighbor is in-radius).
+    """
+    # Pairwise squared distances [N, Q, P] — one batched MXU matmul via the
+    # |a-b|^2 = |a|^2 - 2ab + |b|^2 expansion.
+    q32 = query.astype(jnp.float32)
+    s32 = src.astype(jnp.float32)
+    cross = jnp.einsum("nqc,npc->nqp", q32, s32)
+    d2 = (
+        jnp.sum(q32**2, axis=-1)[:, :, None]
+        - 2.0 * cross
+        + jnp.sum(s32**2, axis=-1)[:, None, :]
+    )
+    d2 = jnp.maximum(d2, 0.0)
+
+    in_radius = d2 <= radius * radius
+    # Push out-of-radius points beyond any real distance, then take K nearest.
+    big = jnp.float32(1e30)
+    d2_masked = jnp.where(in_radius, d2, big)
+    neg_top, idx = jax.lax.top_k(-d2_masked, k)  # [N, Q, K]
+    mask = (-neg_top) < big
+    # Clamp invalid slots to the nearest neighbor (slot 0 is always valid
+    # because the center itself is within radius).
+    idx = jnp.where(mask, idx, idx[..., :1])
+    return idx.astype(jnp.int32), mask
+
+
+def gather_neighbors(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather per-neighbor values.
+
+    Args:
+        values: [N, P, C].
+        idx: [N, Q, K] indices into P.
+
+    Returns:
+        [N, Q, K, C].
+    """
+    n, q, k = idx.shape
+    flat = idx.reshape(n, q * k)
+    out = jnp.take_along_axis(values, flat[:, :, None], axis=1)
+    return out.reshape(n, q, k, values.shape[-1])

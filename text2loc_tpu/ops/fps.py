@@ -1,0 +1,79 @@
+"""Farthest-point sampling (FPS) on fixed-shape point batches.
+
+TPU-native replacement for torch-cluster's `gnn.fps` CUDA kernel
+(/root/reference/models/pointcloud/pointnet2.py:26). Differences by design:
+
+* Static output size S (the reference's ratio 0.5 on 256 points is the fixed
+  ladder 256 -> 128 -> 64 -> 32), so shapes stay compilation-friendly.
+* Deterministic start at point 0 instead of torch-cluster's random start; FPS
+  coverage is near-identical and determinism simplifies tests/golden values.
+* Fully batched over N objects: one [N, P] distance field updated S times
+  inside `lax.fori_loop` — XLA fuses each round into a single VPU pass.
+
+A fused Pallas kernel (the whole selection loop in VMEM) lives in
+`text2loc_tpu.ops.pallas_fps` and is used automatically on TPU backends for
+large batches; this module is the portable XLA path and the numerical oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def farthest_point_sampling(points: jax.Array, num_samples: int) -> jax.Array:
+    """Select `num_samples` indices per object via farthest-point sampling.
+
+    Args:
+        points: [N, P, 3] float array (fully valid — objects are resampled to a
+            fixed point count at ingest, so no point-level mask is needed).
+        num_samples: static number of samples S to select, S <= P.
+
+    Returns:
+        [N, S] int32 indices into the P axis. The first index is always 0.
+    """
+    n, p, _ = points.shape
+    assert num_samples <= p, (num_samples, p)
+    pts = points.astype(jnp.float32)
+
+    def body(i, state):
+        min_dist, selected, last_idx = state
+        # Gather the most recently selected point per object: [N, 3].
+        last = jnp.take_along_axis(pts, last_idx[:, None, None], axis=1)[:, 0, :]
+        d = jnp.sum((pts - last[:, None, :]) ** 2, axis=-1)  # [N, P]
+        min_dist = jnp.minimum(min_dist, d)
+        nxt = jnp.argmax(min_dist, axis=-1).astype(jnp.int32)  # [N]
+        selected = selected.at[:, i].set(nxt)
+        return min_dist, selected, nxt
+
+    init_min = jnp.full((n, p), jnp.inf, dtype=jnp.float32)
+    selected0 = jnp.zeros((n, num_samples), dtype=jnp.int32)
+    first = jnp.zeros((n,), dtype=jnp.int32)
+    # Iteration i fills slot i using the point chosen in slot i-1; slot 0 is
+    # the fixed start point (index 0).
+    _, selected, _ = jax.lax.fori_loop(
+        1, num_samples, body, (init_min, selected0, first)
+    )
+    return selected
+
+
+def fps_gather(points: jax.Array, features, num_samples: int):
+    """FPS + gather of positions (and optionally features) in one call.
+
+    Args:
+        points: [N, P, 3].
+        features: optional [N, P, C] or None.
+        num_samples: static S.
+
+    Returns:
+        (sub_points [N, S, 3], sub_features [N, S, C] or None, indices [N, S])
+    """
+    idx = farthest_point_sampling(points, num_samples)
+    sub_points = jnp.take_along_axis(points, idx[:, :, None], axis=1)
+    sub_features = None
+    if features is not None:
+        sub_features = jnp.take_along_axis(features, idx[:, :, None], axis=1)
+    return sub_points, sub_features, idx

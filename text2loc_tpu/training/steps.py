@@ -1,0 +1,214 @@
+"""Jittable train/eval steps for both stages.
+
+Replaces the reference's per-batch Python train loops
+(/root/reference/training/coarse.py:32-60, training/fine.py:39-100) with pure
+functions: augmentation, frozen-text lookup, both tower forwards, loss, grads
+and the optimizer update are one XLA program. Multi-chip data parallelism is
+the same step jitted with a batch sharded over the mesh's `dp` axis and
+replicated params — XLA inserts the ICI collectives (the global-batch InfoNCE
+similarity matrix implies an all-gather of both towers' embeddings, the working
+equivalent of the reference's dead NT_Xent/GatherLayer path, losses.py:386-387).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.data import augment
+from text2loc_tpu.data.batch import FineBatch, ObjectSet, TextSet
+from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+from text2loc_tpu.models.cross_matcher import CrossMatch
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """Per-epoch LR decay (reference coarse.py:272-277, torch semantics)."""
+    t = cfg.train
+    if t.lr_scheduler == "exponential":
+        return optax.exponential_decay(
+            t.learning_rate, transition_steps=max(steps_per_epoch, 1),
+            decay_rate=t.lr_gamma, staircase=True,
+        )
+    if t.lr_scheduler == "step":
+        return optax.exponential_decay(
+            t.learning_rate,
+            transition_steps=max(steps_per_epoch * t.lr_step, 1),
+            decay_rate=t.lr_gamma, staircase=True,
+        )
+    raise ValueError(t.lr_scheduler)
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int, lr: Optional[float] = None):
+    sched = lr if lr is not None else make_lr_schedule(cfg, steps_per_epoch)
+    return optax.adam(sched)
+
+
+def _build_object_set(batch: Dict[str, jnp.ndarray], xyz, rgb) -> ObjectSet:
+    return ObjectSet(
+        xyz=xyz,
+        rgb=rgb,
+        center=batch["center"],
+        color=batch["color"],
+        num_points=batch["num_points"],
+        class_idx=batch["class_idx"],
+        color_idx=batch["color_idx"],
+        mask=batch["mask"],
+    )
+
+
+def prepare_coarse_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
+                         train: bool) -> Tuple[ObjectSet, TextSet]:
+    """On-device augmentation + frozen-text lookup for a gathered batch."""
+    t = cfg.train
+    kf, ks, kp = jax.random.split(rng, 3)
+    if train and t.flip_poses:
+        batch = augment.flip_coarse(batch, kf)
+    if train and t.shuffle_hints:
+        batch = augment.shuffle_hints(batch, ks)
+    xyz, rgb = augment.point_cloud_transform(
+        batch["xyz"], batch["rgb"], kp,
+        num_points=cfg.model.pointnet.num_points,
+        augment=train and t.pc_augment,
+    )
+    objects = _build_object_set(batch, xyz, rgb)
+    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"])
+    return objects, text
+
+
+def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedder,
+                           cfg: Config, optimizer) -> Callable:
+    loss_fn_sel = losses.make_retrieval_loss(cfg.train.loss)
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+        kaug, kdrop = jax.random.split(rng)
+        objects, text = prepare_coarse_batch(batch, embedder, cfg, kaug, train=True)
+
+        def loss_of(params):
+            (cell_emb, text_emb), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                objects, text, train=True,
+                mutable=["batch_stats"], rngs={"dropout": kdrop},
+            )
+            # anchor = text, positive = cell (reference coarse.py:44-52).
+            loss = loss_fn_sel(text_emb, cell_emb)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_coarse_encoders(model: CellRetrievalNetwork, embedder: HintTextEmbedder,
+                         cfg: Config):
+    """Inference-mode tower encoders for evaluation / gallery building."""
+
+    def encode_cells(params, batch_stats, batch, rng):
+        xyz, rgb = augment.point_cloud_transform(
+            batch["xyz"], batch["rgb"], rng,
+            num_points=cfg.model.pointnet.num_points, augment=False,
+        )
+        objects = _build_object_set(batch, xyz, rgb)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            objects, train=False, method=model.encode_objects,
+        )
+
+    def encode_text(params, batch_stats, batch):
+        text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"])
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            text, train=False, method=model.encode_text,
+        )
+
+    return jax.jit(encode_cells), jax.jit(encode_text)
+
+
+def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
+                       train: bool) -> FineBatch:
+    kp, _ = jax.random.split(rng)
+    xyz, rgb = augment.point_cloud_transform(
+        batch["xyz"], batch["rgb"], kp,
+        num_points=cfg.model.pointnet.num_points,
+        augment=train and cfg.train.pc_augment,
+    )
+    objects = _build_object_set(batch, xyz, rgb)
+    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"])
+    return FineBatch(
+        objects=objects, text=text,
+        target=batch["target"], pose_in_cell=batch["pose_in_cell"],
+    )
+
+
+def make_fine_train_step(model: CrossMatch, embedder: HintTextEmbedder,
+                         cfg: Config, optimizer) -> Callable:
+    offset_lambda = cfg.train.offset_lambda
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+        kaug, kdrop = jax.random.split(rng)
+        fb = prepare_fine_batch(batch, embedder, cfg, kaug, train=True)
+
+        def loss_of(params):
+            pred, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                fb.objects, fb.text, train=True,
+                mutable=["batch_stats"], rngs={"dropout": kdrop},
+            )
+            # loss = offset_lambda * MSE(pred, target) (reference fine.py:65-68).
+            mse = jnp.mean((pred - fb.target) ** 2)
+            err = losses.pose_error(pred, fb.pose_in_cell)
+            return offset_lambda * mse, (updates["batch_stats"], err)
+
+        (loss, (new_stats, err)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+        return new_state, {"loss": loss, "pose_error": err}
+
+    return step
+
+
+def make_fine_forward(model: CrossMatch, embedder: HintTextEmbedder, cfg: Config):
+    """Batched inference forward: [B] samples -> [B, 2] positions."""
+
+    def forward(params, batch_stats, batch, rng):
+        fb = prepare_fine_batch(batch, embedder, cfg, rng, train=False)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            fb.objects, fb.text, train=False,
+        )
+
+    return jax.jit(forward)
+
+
+def init_train_state(model, optimizer, rng, objects: ObjectSet, text: TextSet,
+                     method=None) -> TrainState:
+    kp, kd = jax.random.split(rng)
+    variables = model.init(
+        {"params": kp, "dropout": kd}, objects, text, train=True, method=method
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
