@@ -1,0 +1,120 @@
+"""Benchmark: fine-stage localization throughput (queries/sec/chip).
+
+This reproduces the reference's only in-repo throughput signal — the fine
+matching timer "Ran matching for N queries in Xs"
+(/root/reference/evaluation/pipeline.py:102-126). There, each pose is a
+single-item Python loop: one batch of top-k=10 candidate cells through
+CrossMatch, including a fresh frozen-T5-large forward per item. Here the whole
+stage is one batched XLA program: frozen text embeddings are a table lookup
+(the hint vocabulary is closed — see text2loc_tpu/models/text_embedding.py),
+and all Q poses x K candidates run as flattened [Q*K] batches on the MXU.
+
+Baseline: the reference records no number. BASELINE.md's north star is >=5x
+A100 throughput; we use an *estimated* reference A100 rate of 20 q/s
+(T5-large encoder forward over 10 duplicated hint sets per pose ~0.8 TFLOP
+plus the serial PyG point kernels and per-item loop overhead), so
+vs_baseline = measured_qps / 20.0. Replace with a measured number when the
+reference can be run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
+NUM_POSES = 512
+TOP_K = 10
+CHUNK = 1024  # flattened candidates per device batch
+
+
+def main():
+    import jax
+
+    from text2loc_tpu.config import Config, ModelConfig, TrainConfig
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+    from text2loc_tpu.data.synthetic import make_scene
+    from text2loc_tpu.models.cross_matcher import CrossMatch
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+    from text2loc_tpu.training import steps as steps_lib
+
+    cfg = Config(model=ModelConfig(), train=TrainConfig()).validate()
+    m = cfg.model
+
+    model = CrossMatch(m)
+    embedder = HintTextEmbedder.compositional(
+        embed_dim=m.text_embed_dim, max_tokens=m.max_hint_tokens
+    )
+
+    # Synthetic scene with reference-scale shapes: pad_size objects/cell,
+    # 256 points/object, 6 hints/pose.
+    scene = make_scene(
+        scene_name="0000",
+        num_cells=64,
+        num_poses=NUM_POSES,
+        object_slots=max(m.object_size, m.pad_size),
+        num_points=m.pointnet.num_points,
+        num_mentioned=m.num_mentioned,
+        seed=0,
+    )
+    data = MultiSceneArrays([scene])
+
+    rng = jax.random.PRNGKey(0)
+    # Each pose against TOP_K candidate cells, flattened (the batched
+    # replacement for the reference's per-pose loop, pipeline.py:112-126).
+    pose_idx = np.repeat(np.arange(NUM_POSES), TOP_K)
+    cell_idx = np.asarray(
+        (data.pose_cell_idx[pose_idx] + np.tile(np.arange(TOP_K), NUM_POSES))
+        % data.num_cells,
+        dtype=np.int64,
+    )
+
+    total = len(pose_idx)
+    assert total % CHUNK == 0, (total, CHUNK)
+    chunks = [
+        data.gather_fine(
+            pose_idx[i : i + CHUNK], m.pad_size, cell_indices=cell_idx[i : i + CHUNK]
+        )
+        for i in range(0, total, CHUNK)
+    ]
+
+    fb0 = steps_lib.prepare_fine_batch(chunks[0], embedder, cfg, rng, train=False)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, fb0.objects, fb0.text, train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    forward = steps_lib.make_fine_forward(model, embedder, cfg)
+
+    # Warmup (compile).
+    out = forward(params, batch_stats, chunks[0], rng)
+    out.block_until_ready()
+
+    iters = 5
+    start = time.perf_counter()
+    for _ in range(iters):
+        for ch in chunks:
+            out = forward(params, batch_stats, ch, rng)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    qps = NUM_POSES * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "fine_localization_throughput",
+                "value": round(qps, 2),
+                "unit": "queries/sec/chip",
+                "vs_baseline": round(qps / ESTIMATED_REFERENCE_QPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,7 +7,11 @@ SURVEY.md section 4's test plan. Env vars must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when a TPU platform (axon tunnel) is configured in the env:
+# tests validate sharding semantics on 8 virtual devices, not TPU perf.
+# The site hook imports jax before this conftest runs, so the env var alone is
+# too late — set the config knob as well (backends are initialized lazily).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/text2loc_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

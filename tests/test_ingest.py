@@ -1,0 +1,162 @@
+"""Pickle ingest: published-schema pickles -> SceneArrays.
+
+Builds a tiny scene in the published on-disk schema (cells/poses pickled under
+the reference's module path "datapreparation.kitti360pose.imports", which the
+CompatUnpickler must map back), converts it, and checks the array invariants.
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from text2loc_tpu import constants as C
+from text2loc_tpu.data import structs
+from text2loc_tpu.data.ingest import convert_base_path, convert_scene
+from text2loc_tpu.data.structs import (
+    Cell,
+    DescriptionBestCell,
+    DescriptionPoseCell,
+    Object3d,
+    Pose,
+)
+
+SCENE = "2013_05_28_drive_0000_sync"
+
+
+def _make_objects(rng, n):
+    objs = []
+    labels = ["building", "pole", "vegetation", "road", "traffic sign"]
+    for i in range(n):
+        npts = int(rng.integers(9, 40))
+        xyz = rng.random((npts, 3)).astype(np.float32)
+        rgb = rng.random((npts, 3)).astype(np.float32)
+        objs.append(Object3d(i, 100 + i, xyz, rgb, labels[i % len(labels)]))
+    return objs
+
+
+def _make_descr(obj: Object3d, pose3, matched=True):
+    d = DescriptionPoseCell()
+    d.object_id = obj.id
+    d.object_instance_id = obj.instance_id
+    d.object_label = obj.label
+    d.object_color_rgb = obj.get_color_rgb()
+    d.object_color_text = obj.get_color_text()
+    closest = obj.get_closest_point(pose3)
+    off_closest = (np.asarray(pose3) - closest)[:2]
+    off_center = (np.asarray(pose3) - obj.get_center())[:2]
+    d.direction = "north-east"
+    d.offset_center = off_center
+    d.offset_closest = off_closest
+    d.closest_point = closest[:2]
+    if matched:
+        return DescriptionBestCell.matched(
+            d, obj.id, closest, off_center, off_closest
+        )
+    return DescriptionBestCell.unmatched(d)
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    rng = np.random.default_rng(3)
+    cells = []
+    for i in range(3):
+        objs = _make_objects(rng, 4 + i)
+        cell = Cell(i, SCENE, objs, 30.0,
+                    np.array([i * 30.0, 0, 0, i * 30.0 + 30, 30, 30]))
+        cells.append(cell)
+
+    poses = []
+    for pi in range(4):
+        ci = pi % 3
+        pose_in_cell = rng.uniform(0.2, 0.8, 2).astype(np.float32)
+        pose3 = np.array([pose_in_cell[0], pose_in_cell[1], 0.0])
+        pose_w = cells[ci].bbox_w[:3] + np.r_[pose_in_cell * 30.0, 0.0]
+        descrs = [
+            _make_descr(cells[ci].objects[j % len(cells[ci].objects)], pose3,
+                        matched=(j % 3 != 2))
+            for j in range(6)
+        ]
+        poses.append(Pose(pose_in_cell, pose_w, cells[ci].id, SCENE, descrs))
+
+    # Pickle under the reference's module path (pickle writes
+    # cls.__module__/__qualname__; fake them so CompatUnpickler is exercised).
+    # Pickle verifies importability at dump time, so register stub modules too.
+    import sys
+    import types
+
+    classes = (Object3d, DescriptionPoseCell, DescriptionBestCell, Pose, Cell)
+    ref_mod = "datapreparation.kitti360pose.imports"
+    orig = [c.__module__ for c in classes]
+    stubs = {}
+    for name in ("datapreparation", "datapreparation.kitti360pose", ref_mod):
+        stubs[name] = types.ModuleType(name)
+    for c in classes:
+        c.__module__ = ref_mod
+        setattr(stubs[ref_mod], c.__name__, c)
+    sys.modules.update(stubs)
+    try:
+        os.makedirs(tmp_path / "cells")
+        os.makedirs(tmp_path / "poses")
+        os.makedirs(tmp_path / "direction")
+        with open(tmp_path / "cells" / f"{SCENE}.pkl", "wb") as f:
+            pickle.dump(cells, f)
+        with open(tmp_path / "poses" / f"{SCENE}.pkl", "wb") as f:
+            pickle.dump(poses, f)
+    finally:
+        for c, m in zip(classes, orig):
+            c.__module__ = m
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+    neighbors = {
+        cells[0].id: {"east": cells[1].id, "west": None},
+        cells[1].id: {"east": cells[2].id, "west": cells[0].id},
+        cells[2].id: {"west": cells[1].id},
+    }
+    with open(tmp_path / "direction" / f"{SCENE}.json", "w") as f:
+        json.dump(neighbors, f)
+    return tmp_path, cells, poses
+
+
+def test_convert_scene_invariants(tiny_dataset):
+    base, cells, poses = tiny_dataset
+    scenes = convert_base_path(str(base), [SCENE], store_points=16)
+    s = scenes[0]
+
+    assert s.num_cells == 3 and s.num_poses == 4
+    assert s.obj_xyz.shape == (3, 28, 16, 3)  # auto slots >= 28
+    # Real-object masks match the source object counts.
+    assert list(s.obj_mask.sum(axis=1)) == [4, 5, 6]
+    # Storage order preserved: class of slot 0 == first object's class.
+    assert s.obj_class[0, 0] == C.CLASS_TO_INDEX[cells[0].objects[0].label]
+    # Padding slots carry pad class.
+    assert (s.obj_class[~s.obj_mask] == C.PAD_CLASS_INDEX).all()
+    # Hints: direction vocabulary index round-trips.
+    assert (s.hint_dir == C.DIRECTION_TO_INDEX["north-east"]).all()
+    # Matching: 2 of 3 descriptions matched per pose (pattern j%3!=2).
+    assert s.hint_matched.sum() == 4 * 4
+    assert (s.hint_obj_idx[s.hint_matched] >= 0).all()
+    assert (s.hint_obj_idx[~s.hint_matched] == -1).all()
+    # Neighbor table: east of cell0 is cell1, symmetric west.
+    assert s.cell_neighbors[0, 0] == 1
+    assert s.cell_neighbors[1, 1] == 0
+    assert s.cell_neighbors[2, 0] == -1
+
+    # Best-cell index points at the right cell.
+    for pi, pose in enumerate(poses):
+        assert s.cell_ids[s.pose_cell_idx[pi]] == pose.cell_id
+
+
+def test_npz_round_trip(tiny_dataset, tmp_path):
+    base, _, _ = tiny_dataset
+    out = tmp_path / "arrays"
+    scenes = convert_base_path(str(base), [SCENE], out_dir=str(out), store_points=16)
+    cached = convert_base_path(str(base), [SCENE], out_dir=str(out), store_points=16)
+    a, b = scenes[0], cached[0]
+    np.testing.assert_array_equal(a.obj_xyz, b.obj_xyz)
+    np.testing.assert_array_equal(a.hint_dir, b.hint_dir)
+    np.testing.assert_array_equal(a.cell_neighbors, b.cell_neighbors)
+    assert a.cell_ids == b.cell_ids

@@ -1,0 +1,84 @@
+"""Multi-chip paths on the virtual 8-device CPU mesh (SURVEY.md section 4c).
+
+Validates:
+* sharded-gallery top-k == dense single-chip top-k (score-exact);
+* the DP coarse train step runs on a mesh and produces the SAME loss as the
+  single-chip step on the same batch (global-batch InfoNCE + synced BN under
+  GSPMD are bitwise-equivalent reductions, modulo float reassociation).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2loc_tpu.parallel import make_mesh, shard_batch
+from text2loc_tpu.parallel.retrieval import sharded_topk_retrieval
+from text2loc_tpu.parallel.train import make_dp_coarse_train_step, replicate_state
+from text2loc_tpu.training import steps as steps_lib
+
+
+def test_sharded_topk_matches_dense():
+    from text2loc_tpu.evaluation.retrieval import topk_retrieval
+
+    rng = np.random.default_rng(0)
+    cells = rng.standard_normal((37, 16)).astype(np.float32)
+    cells /= np.linalg.norm(cells, axis=1, keepdims=True)
+    texts = rng.standard_normal((5, 16)).astype(np.float32)
+    texts /= np.linalg.norm(texts, axis=1, keepdims=True)
+
+    k = 4
+    dense_s, dense_i = topk_retrieval(jnp.asarray(cells), jnp.asarray(texts), k)
+    mesh = make_mesh(8)
+    shard_s, shard_i = sharded_topk_retrieval(cells, texts, k, mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(shard_s), np.asarray(dense_s), rtol=1e-5, atol=1e-6
+    )
+    # Indices can differ only where scores tie exactly.
+    same = np.asarray(shard_i) == np.asarray(dense_i)
+    ties = np.isclose(np.asarray(shard_s), np.asarray(dense_s), atol=1e-6)
+    assert np.all(same | ties)
+
+
+def test_dp_coarse_step_matches_single_chip(small_cfg, small_embedder, small_data):
+    n_dev = 8
+    cfg = small_cfg.replace(
+        train=dataclasses.replace(small_cfg.train, batch_size=n_dev * 2)
+    )
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+
+    model = CellRetrievalNetwork(cfg.model)
+    optimizer = steps_lib.make_optimizer(cfg, steps_per_epoch=1)
+
+    rng = jax.random.PRNGKey(1)
+    batch = small_data.gather_coarse(
+        np.arange(cfg.train.batch_size) % small_data.num_poses,
+        cfg.model.object_size,
+    )
+    objects, text = steps_lib.prepare_coarse_batch(
+        batch, small_embedder, cfg, rng, train=False
+    )
+    state = steps_lib.init_train_state(model, optimizer, rng, objects, text)
+
+    # Single-chip step first (DP step donates its state).
+    single_step = jax.jit(
+        steps_lib.make_coarse_train_step(model, small_embedder, cfg, optimizer)
+    )
+    _, single_metrics = single_step(state, batch, rng)
+    single_loss = float(single_metrics["loss"])
+
+    mesh = make_mesh(n_dev)
+    dp_step = make_dp_coarse_train_step(model, small_embedder, cfg, optimizer, mesh)
+    dp_state = replicate_state(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    new_state, metrics = dp_step(dp_state, sharded, rng)
+    dp_loss = float(metrics["loss"])
+
+    assert np.isfinite(dp_loss)
+    assert abs(dp_loss - single_loss) < 1e-4, (dp_loss, single_loss)
+    # Params actually moved.
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()

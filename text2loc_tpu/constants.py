@@ -157,6 +157,13 @@ DIRECTION_V_FLIP = np.array(
 NUM_POINTS_MEAN = 1826.6844940968194
 NUM_POINTS_STD = 2516.8905096993817
 
+# Compass neighbor-slot order of the PMC direction maps
+# (reference: datapreparation/kitti360pose/add_relation.py:45-54).
+NEIGHBOR_KEYS = (
+    "east", "west", "north", "south",
+    "northeast", "northwest", "southeast", "southwest",
+)
+
 HINT_TEMPLATE = "The pose is {direction} of a {color} {label}."
 
 

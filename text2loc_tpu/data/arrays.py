@@ -51,6 +51,17 @@ class SceneArrays:
     offset_closest: np.ndarray   # [N, S, 2] pose-cell closest-point offsets
     best_offset_center: np.ndarray   # [N, S, 2]
     best_offset_closest: np.ndarray  # [N, S, 2]
+    # Compass neighbor table for PMC (reference direction/*.json built by
+    # add_relation.py): [C, 8] scene-local cell indices in the order
+    # east/west/north/south/northeast/northwest/southeast/southwest, -1 = none.
+    cell_neighbors: Optional[np.ndarray] = None
+    # Precomputed PMC tables (reference poses.py:403-516 re-derives these per
+    # __getitem__; here they're computed once at ingest against the full
+    # clouds — see text2loc_tpu.data.pmc). Axis 1 indexes the 8 compass
+    # neighbor slots of the pose's best cell.
+    pmc_valid: Optional[np.ndarray] = None   # [N, 8] bool: clone candidate ok
+    pmc_weight: Optional[np.ndarray] = None  # [N, 8] f32: 1/dist^2 sampling weight
+    pmc_match: Optional[np.ndarray] = None   # [N, 8, S] int32: re-matched slots, -1
 
     @property
     def num_cells(self) -> int:
@@ -63,6 +74,9 @@ class SceneArrays:
     def save_npz(self, path: str):
         arrays = dataclasses.asdict(self)
         arrays["cell_ids"] = np.array(self.cell_ids)
+        for name in ("cell_neighbors", "pmc_valid", "pmc_weight", "pmc_match"):
+            if arrays[name] is None:
+                del arrays[name]
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -153,6 +167,26 @@ class MultiSceneArrays:
         ):
             setattr(self, name, cat(name))
 
+        # Global PMC neighbor table (global cell indices, -1 = none).
+        if all(s.cell_neighbors is not None for s in self.scenes):
+            self.cell_neighbors = np.concatenate(
+                [
+                    np.where(s.cell_neighbors >= 0, s.cell_neighbors + offsets[si], -1)
+                    for si, s in enumerate(self.scenes)
+                ],
+                axis=0,
+            ).astype(np.int32)
+        else:
+            self.cell_neighbors = None
+
+        # PMC tables (slot indices are cell-local; no rebasing needed).
+        if all(s.pmc_valid is not None for s in self.scenes):
+            self.pmc_valid = cat("pmc_valid")
+            self.pmc_weight = cat("pmc_weight")
+            self.pmc_match = cat("pmc_match")
+        else:
+            self.pmc_valid = self.pmc_weight = self.pmc_match = None
+
     @property
     def num_cells(self) -> int:
         return len(self.cell_ids)
@@ -237,15 +271,25 @@ class MultiSceneArrays:
 
     def gather_fine(self, pose_indices: np.ndarray, pad_size: int,
                     cell_indices: Optional[np.ndarray] = None,
-                    hint_obj_idx: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+                    hint_obj_idx: Optional[np.ndarray] = None,
+                    match_first: bool = True) -> Dict[str, np.ndarray]:
         """Per-pose fine sample against its best cell (or a supplied cell).
 
         Target = absolute normalized pose in the candidate cell
         (regressor_cell="all", poses.py:74-75).
+
+        match_first=False keeps plain storage order truncated to pad_size —
+        the ordering the reference uses at evaluation time against *retrieved*
+        cells, where no gt matching exists (eval.py:147-174).
         """
         pi = np.asarray(pose_indices)
         ci = self.pose_cell_idx[pi] if cell_indices is None else np.asarray(cell_indices)
-        order = self.fine_object_order(pi, ci, pad_size, hint_obj_idx=hint_obj_idx)
+        if match_first:
+            order = self.fine_object_order(pi, ci, pad_size, hint_obj_idx=hint_obj_idx)
+        else:
+            order = np.broadcast_to(
+                np.arange(pad_size, dtype=np.int32), (len(pi), pad_size)
+            )
         bidx = np.arange(len(pi))[:, None]
         out = {
             "xyz": self.obj_xyz[ci[:, None], order],

@@ -1,0 +1,144 @@
+"""End-to-end coarse-to-fine evaluation — THE benchmark entry point.
+
+Rebuild of /root/reference/evaluation/pipeline.py:41-286. Two stages:
+
+* `run_coarse` — full-gallery retrieval (reusing the on-device matmul+top-k of
+  text2loc_tpu.evaluation.retrieval) scored as "predict the cell center"
+  (pos_in_cells = 0.5, reference pipeline.py:70-83).
+* `run_fine` — the retrieved top-k candidates refined by CrossMatch. The
+  reference loops poses one at a time (a single-item Python loop flagged HOT
+  at pipeline.py:105-126); here all Q poses x K candidates are flattened into
+  [Q*K] device batches — the fine stage is a handful of MXU-bound forwards.
+
+Output: two k x thresh localization-recall tables (the published format,
+evaluation/utils.py:57-69), with cross-scene retrievals masked to infinite
+distance (utils.py:49-51).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.data.arrays import MultiSceneArrays
+from text2loc_tpu.evaluation import metrics
+from text2loc_tpu.evaluation.retrieval import eval_retrieval
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training.steps import TrainState, make_fine_forward
+
+
+def run_coarse(
+    data: MultiSceneArrays,
+    state: TrainState,
+    model,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+) -> Tuple[Dict[int, Dict[float, float]], np.ndarray]:
+    """Retrieval + center-guess accuracy table (reference pipeline.py:41-87).
+
+    Returns (accuracy table, retrievals [Q, max_k]).
+    """
+    top_k = cfg.eval.top_k
+    _, _, retrievals = eval_retrieval(
+        data, state, model, embedder, cfg, top_k=top_k
+    )
+    k = retrievals.shape[1]
+    bbox = data.cell_bbox[retrievals]                      # [Q, K, 6]
+    sizes = data.cell_size[retrievals]                     # [Q, K]
+    scenes = data.cell_scene_idx[retrievals]               # [Q, K]
+    center = np.full((data.num_poses, k, 2), 0.5, np.float32)
+    accs = metrics.localization_accuracies(
+        pose_w=data.pose_w[:, :2],
+        pose_scene_idx=data.pose_scene_idx,
+        top_cell_bbox=bbox,
+        top_cell_size=sizes,
+        top_cell_scene_idx=scenes,
+        pos_in_cells=center,
+        top_k=[kk for kk in top_k if kk <= k],
+        threshs=cfg.eval.threshs,
+    )
+    return accs, retrievals
+
+
+def run_fine(
+    data: MultiSceneArrays,
+    retrievals: np.ndarray,
+    state: TrainState,
+    model,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+    chunk: Optional[int] = None,
+) -> Tuple[Dict[int, Dict[float, float]], np.ndarray, float]:
+    """Batched fine refinement over all (pose, candidate) pairs.
+
+    Returns (accuracy table, pos_in_cells [Q, K, 2], queries/sec) — the
+    throughput figure mirrors the reference's stage timer (pipeline.py:102-126).
+    """
+    q, k = retrievals.shape
+    pad = cfg.model.pad_size
+    pose_idx = np.repeat(np.arange(q), k)
+    cell_idx = retrievals.reshape(-1)
+    total = len(pose_idx)
+    chunk = chunk or (cfg.eval.batch_size * max(cfg.eval.top_k))
+
+    forward = make_fine_forward(model, embedder, cfg)
+    rng = jax.random.PRNGKey(0)
+
+    out = np.zeros((total, 2), np.float32)
+    start = time.perf_counter()
+    for s in range(0, total, chunk):
+        idx = np.arange(s, min(s + chunk, total))
+        full = np.resize(idx, chunk)  # pad the tail by wrapping
+        batch = data.gather_fine(
+            pose_idx[full], pad, cell_indices=cell_idx[full], match_first=False
+        )
+        pred = forward(state.params, state.batch_stats, batch, rng)
+        out[idx] = np.asarray(pred)[: len(idx)]
+    elapsed = time.perf_counter() - start
+    qps = q / max(elapsed, 1e-9)
+
+    pos_in_cells = out.reshape(q, k, 2)
+    accs = metrics.localization_accuracies(
+        pose_w=data.pose_w[:, :2],
+        pose_scene_idx=data.pose_scene_idx,
+        top_cell_bbox=data.cell_bbox[retrievals],
+        top_cell_size=data.cell_size[retrievals],
+        top_cell_scene_idx=data.cell_scene_idx[retrievals],
+        pos_in_cells=pos_in_cells,
+        top_k=[kk for kk in cfg.eval.top_k if kk <= k],
+        threshs=cfg.eval.threshs,
+    )
+    return accs, pos_in_cells, qps
+
+
+def run_pipeline(
+    data: MultiSceneArrays,
+    coarse_state: TrainState,
+    coarse_model,
+    fine_state: TrainState,
+    fine_model,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+    verbose: bool = True,
+):
+    """Full pipeline: coarse retrieval -> fine refinement -> both tables
+    (reference pipeline.py:207-286)."""
+    coarse_accs, retrievals = run_coarse(data, coarse_state, coarse_model, embedder, cfg)
+    fine_accs, pos_in_cells, qps = run_fine(
+        data, retrievals, fine_state, fine_model, embedder, cfg
+    )
+    if verbose:
+        metrics.print_accuracies(coarse_accs, "Coarse")
+        metrics.print_accuracies(fine_accs, "Fine")
+        print(f"Fine matching: {qps:.1f} queries/sec", flush=True)
+    return {
+        "coarse": coarse_accs,
+        "fine": fine_accs,
+        "retrievals": retrievals,
+        "pos_in_cells": pos_in_cells,
+        "fine_qps": qps,
+    }

@@ -1,0 +1,107 @@
+"""Full-city gallery retrieval sharded over the device mesh.
+
+The reference scores each query against the full gallery with a host-side
+numpy matmul per query (/root/reference/training/coarse.py:119-125). The
+single-chip TPU path is one [Q, D] @ [D, C] matmul + `lax.top_k`
+(text2loc_tpu.evaluation.retrieval). This module scales that along the
+reference's real scaling axis — gallery size (SURVEY.md section 5.7):
+
+* the cell-embedding gallery [C, D] is sharded over the `dp` axis;
+* each chip computes scores only against its C/n shard and takes a local
+  top-k (scores + *global* gallery ids via the shard offset);
+* an `all_gather` of the per-shard [Q, k] candidates (tiny: n*k per query,
+  not C) rides ICI, followed by a static merge top-k.
+
+ICI traffic is O(Q * n * k) instead of the O(Q * C) an all-gathered score
+matrix would cost; HBM holds only C/n gallery vectors per chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from text2loc_tpu.ops.masked import NEG_INF
+
+
+def pad_gallery(cell_enc: np.ndarray, num_shards: int) -> Tuple[np.ndarray, int]:
+    """Pad the gallery row count to a multiple of the mesh size.
+
+    Padding rows are zero vectors; with L2-normalized queries their inner
+    product is 0, but to be safe against empty shards the sharded kernel also
+    masks padded ids explicitly.
+    """
+    c = cell_enc.shape[0]
+    c_pad = ((c + num_shards - 1) // num_shards) * num_shards
+    if c_pad == c:
+        return cell_enc, c
+    out = np.zeros((c_pad,) + cell_enc.shape[1:], cell_enc.dtype)
+    out[:c] = cell_enc
+    return out, c
+
+
+def make_sharded_topk(mesh: Mesh, k: int, num_cells: int, axis_name: str = "dp"):
+    """Build a jitted sharded-top-k: (cell_enc [Cp, D], text_enc [Q, D]) ->
+    (scores [Q, k], global indices [Q, k]).
+
+    `num_cells` is the real (unpadded) gallery size; padded rows are masked to
+    -inf so they can never enter the top-k.
+    """
+    n = mesh.devices.size
+
+    def local_topk(cells, texts):
+        # cells: [Cp/n, D] local shard; texts: [Q, D] replicated.
+        shard = jax.lax.axis_index(axis_name)
+        c_local = cells.shape[0]
+        offset = shard * c_local
+        scores = jnp.einsum(
+            "qd,cd->qc",
+            texts.astype(jnp.float32),
+            cells.astype(jnp.float32),
+        )
+        gids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gids < num_cells, scores, NEG_INF)
+        k_local = min(k, c_local)
+        s_loc, i_loc = jax.lax.top_k(scores, k_local)           # [Q, k_local]
+        g_loc = jnp.take_along_axis(gids, i_loc, axis=1)
+        # Merge across shards: all_gather the tiny candidate sets.
+        s_all = jax.lax.all_gather(s_loc, axis_name, axis=0)     # [n, Q, kl]
+        g_all = jax.lax.all_gather(g_loc, axis_name, axis=0)
+        q = s_loc.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q, n * k_local)
+        g_flat = jnp.transpose(g_all, (1, 0, 2)).reshape(q, n * k_local)
+        s_top, sel = jax.lax.top_k(s_flat, k)                    # [Q, k]
+        g_top = jnp.take_along_axis(g_flat, sel, axis=1)
+        return s_top, g_top
+
+    fn = shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(P(), P()),
+        # The merge top-k over all-gathered candidates is replicated by
+        # construction; VMA inference can't prove it through axis_index math.
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_topk_retrieval(cell_enc: np.ndarray, text_enc: np.ndarray, k: int,
+                           mesh: Mesh, axis_name: str = "dp"):
+    """Convenience end-to-end: pad + device_put sharded + merge top-k.
+
+    Equivalent results to evaluation.retrieval.topk_retrieval (single-chip
+    dense path) — asserted by tests/test_parallel.py on an 8-device CPU mesh.
+    """
+    n = mesh.devices.size
+    padded, c = pad_gallery(np.asarray(cell_enc), n)
+    fn = make_sharded_topk(mesh, k, c, axis_name)
+    cells = jax.device_put(padded, NamedSharding(mesh, P(axis_name)))
+    texts = jax.device_put(np.asarray(text_enc), NamedSharding(mesh, P()))
+    return fn(cells, texts)

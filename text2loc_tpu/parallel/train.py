@@ -1,0 +1,85 @@
+"""Data-parallel train steps over a device mesh.
+
+The TPU-native equivalent of DDP+NCCL that the reference never had
+(SURVEY.md section 2.6). Strategy: GSPMD, not hand-written collectives —
+
+* params / opt_state replicated, batch sharded over the `dp` axis;
+* the whole single-chip step function is jitted with those shardings;
+* the InfoNCE similarity matrix [B_global, B_global] forces XLA to all-gather
+  both towers' [B_local, D] embeddings over ICI — a few hundred KB — instead
+  of any per-chip gradient ring; gradients of replicated params come out of
+  the backward pass already psum'd by GSPMD.
+* MaskedBatchNorm statistics are jnp reductions over the sharded batch axis,
+  which under GSPMD are global — cross-replica-synced BN for free (the
+  reference's BatchNorm1d sees the whole single-GPU batch; this keeps the same
+  statistics at any mesh size).
+
+This file deliberately contains no model math: it reuses the single-chip step
+factories from text2loc_tpu.training.steps and only binds shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+from text2loc_tpu.models.cross_matcher import CrossMatch
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training import steps as steps_lib
+from text2loc_tpu.training.steps import TrainState
+
+
+def _bind(step: Callable, mesh: Mesh, axis_name: str) -> Callable:
+    """Jit a (state, batch, rng) -> (state, metrics) step with DP shardings."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    # Replicated state, sharded batch dict, replicated rng.
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_dp_coarse_train_step(
+    model: CellRetrievalNetwork,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = "dp",
+) -> Callable:
+    """DP version of the coarse contrastive train step.
+
+    Call with `state` replicated (see `replicate_state`) and `batch` sharded
+    via `mesh.shard_batch`. Global-batch InfoNCE (the working equivalent of the
+    reference's dead NT_Xent/GatherLayer, losses.py:358-402) holds because the
+    similarity matrix spans the full sharded batch.
+    """
+    step = steps_lib.make_coarse_train_step(model, embedder, cfg, optimizer)
+    return _bind(step, mesh, axis_name)
+
+
+def make_dp_fine_train_step(
+    model: CrossMatch,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = "dp",
+) -> Callable:
+    """DP version of the fine offset-regression train step (pure DP: the MSE
+    loss is a mean over the sharded batch, psum'd by GSPMD)."""
+    step = steps_lib.make_fine_train_step(model, embedder, cfg, optimizer)
+    return _bind(step, mesh, axis_name)
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Device-put the train state fully replicated over the mesh."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
