@@ -30,7 +30,11 @@ import numpy as np
 ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
 NUM_POSES = 512
 TOP_K = 10
-CHUNK = 1024  # flattened candidates per device batch
+# Flattened candidates per device batch. Memory-bound: each chunk holds
+# CHUNK x pad_size point clouds through the PointNet SA levels; the SA1 edge
+# tensor is CHUNK*16*128*32*64 activations (~2 GB fp32 at 128), so 128 keeps
+# headroom in 16 GB HBM while saturating the MXU.
+CHUNK = 128
 
 
 def main():

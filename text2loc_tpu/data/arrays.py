@@ -255,8 +255,14 @@ class MultiSceneArrays:
         ci = np.asarray(cell_indices)
         b = len(pi)
         o = self.object_slots
-        order = np.zeros((b, pad_size), dtype=np.int32)
         matched_src = self.hint_obj_idx[pi] if hint_obj_idx is None else hint_obj_idx
+
+        from text2loc_tpu import native
+
+        if native.available():
+            return native.fine_object_order(matched_src, o, pad_size)
+
+        order = np.zeros((b, pad_size), dtype=np.int32)
         for i in range(b):
             matched = [int(m) for m in matched_src[i] if m >= 0]
             seen = set(matched)

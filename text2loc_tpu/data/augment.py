@@ -86,10 +86,12 @@ def flip_coarse(batch: Dict[str, jnp.ndarray], key) -> Dict[str, jnp.ndarray]:
     out = dict(batch)
     for name in ("xyz", "center"):
         out[name] = flip_axis(flip_axis(batch[name], do_h, 0), do_v, 1)
-    if "pose_in_cell" in batch:
-        out["pose_in_cell"] = flip_axis(
-            flip_axis(batch["pose_in_cell"], do_h, 0), do_v, 1
-        )
+    # 2-D pose fields: the coarse gt pose and the fine regression target
+    # (reference fine path flips the offset target the same way,
+    # dataloading/kitti360pose/poses.py via flip_pose_in_cell).
+    for name in ("pose_in_cell", "target"):
+        if name in batch:
+            out[name] = flip_axis(flip_axis(batch[name], do_h, 0), do_v, 1)
 
     h_map = jnp.asarray(C.DIRECTION_H_FLIP)
     v_map = jnp.asarray(C.DIRECTION_V_FLIP)

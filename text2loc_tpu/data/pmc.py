@@ -38,6 +38,31 @@ def _rematch(pose_w: np.ndarray, cell: Cell, descriptions,
     """
     width = float(cell.bbox_w[3] - cell.bbox_w[0])
     new_pose = (np.asarray(pose_w) - np.asarray(cell.bbox_w[:3])) / width
+
+    from text2loc_tpu import constants as C
+    from text2loc_tpu import native
+
+    if native.available():
+        counts = [len(o.xyz) for o in cell.objects]
+        obj_start = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=obj_start[1:])
+        obj_pts = np.concatenate([o.xyz for o in cell.objects], axis=0)
+        obj_label = np.array(
+            [C.CLASS_TO_INDEX.get(o.label, -1) for o in cell.objects], np.int32
+        )
+        descr_label = np.array(
+            [C.CLASS_TO_INDEX.get(d.object_label, -2) for d in descriptions],
+            np.int32,
+        )
+        descr_offset = np.array(
+            [np.asarray(d.offset_closest, np.float64)[:2] for d in descriptions]
+        )
+        match, _ = native.pmc_rematch(
+            obj_pts, obj_start, obj_label, descr_label, descr_offset,
+            new_pose.astype(np.float64), atol,
+        )
+        return [int(m) for m in match]
+
     out: List[int] = []
     used = set()
     for d in descriptions:

@@ -83,7 +83,9 @@ def run_fine(
     pose_idx = np.repeat(np.arange(q), k)
     cell_idx = retrievals.reshape(-1)
     total = len(pose_idx)
-    chunk = chunk or (cfg.eval.batch_size * max(cfg.eval.top_k))
+    # Default device chunk: bounded so the PointNet SA edge activations
+    # (chunk * pad_size clouds) stay well inside HBM (see bench.py).
+    chunk = chunk or min(cfg.eval.batch_size * max(cfg.eval.top_k), 128)
 
     forward = make_fine_forward(model, embedder, cfg)
     rng = jax.random.PRNGKey(0)

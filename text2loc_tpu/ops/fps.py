@@ -18,13 +18,44 @@ large batches; this module is the portable XLA path and the numerical oracle.
 from __future__ import annotations
 
 import functools
+import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
+def _pallas_tile(n: int) -> int:
+    """Largest power-of-two tile <= 64 dividing n (0 if below min sublane)."""
+    tile = math.gcd(n, 64)
+    return tile if tile >= 8 else 0
+
+
 def farthest_point_sampling(points: jax.Array, num_samples: int) -> jax.Array:
+    """FPS dispatch: fused Pallas kernel on TPU backends, XLA loop elsewhere.
+
+    Both paths implement the same algorithm (first-max argmax tie-breaking)
+    and are bit-equal under one compiler (asserted in interpret-mode tests);
+    across Mosaic vs XLA on real TPUs, float contraction (FMA) can perturb
+    distance ties and legitimately select different far points — harmless, as
+    the reference's torch-cluster FPS is random-start anyway
+    (pointnet2.py:26). Set TEXT2LOC_DISABLE_PALLAS=1 to force XLA.
+    """
+    n = points.shape[0]
+    tile = _pallas_tile(n)
+    if (
+        tile
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
+    ):
+        from text2loc_tpu.ops.pallas_fps import farthest_point_sampling_pallas
+
+        return farthest_point_sampling_pallas(points, num_samples, tile_n=tile)
+    return _farthest_point_sampling_xla(points, num_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def _farthest_point_sampling_xla(points: jax.Array, num_samples: int) -> jax.Array:
     """Select `num_samples` indices per object via farthest-point sampling.
 
     Args:

@@ -1,0 +1,205 @@
+"""Coarse retrieval training — the `training.coarse` entry point.
+
+Rebuild of /root/reference/training/coarse.py:160-345 as a library function +
+CLI. Differences by design (TPU-native):
+
+* the per-batch Python loop body (encode both towers, loss, backward, step,
+  empty_cache — reference :32-60) is ONE jitted XLA program including the
+  on-device augmentations (flip/shuffle/point transforms);
+* with a mesh, the same step runs data-parallel with global-batch InfoNCE
+  (text2loc_tpu.parallel.train) — capability the reference lacks;
+* eval_epoch (:63-157) is the on-device gallery matmul + top-k of
+  text2loc_tpu.evaluation.retrieval;
+* best-val checkpoints go through Orbax with full TrainState (true resume),
+  keeping the reference's best-gating policy (:317-345).
+
+CLI:
+    python -m text2loc_tpu.training.coarse --base_path DATA [--workdir W] ...
+    python -m text2loc_tpu.training.coarse --synthetic      # smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.data.arrays import MultiSceneArrays
+from text2loc_tpu.evaluation.retrieval import eval_retrieval
+from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training import steps as steps_lib
+from text2loc_tpu.utils.logging import MetricLogger
+from text2loc_tpu.utils.profiling import StageTimer, block_on
+
+
+def train_coarse(
+    cfg: Config,
+    data_train: MultiSceneArrays,
+    data_val: Optional[MultiSceneArrays],
+    embedder: HintTextEmbedder,
+    workdir: Optional[str] = None,
+    mesh=None,
+    eval_every: int = 1,
+) -> Tuple[steps_lib.TrainState, CellRetrievalNetwork, MetricLogger]:
+    """Train the retrieval towers; returns (best-or-final state, model, log)."""
+    t = cfg.train
+    model = CellRetrievalNetwork(cfg.model)
+    n_train = data_train.num_poses
+    steps_per_epoch = max(n_train // t.batch_size, 1)
+    optimizer = steps_lib.make_optimizer(cfg, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(t.seed)
+    rng, init_rng = jax.random.split(rng)
+    init_batch = data_train.gather_coarse(
+        np.arange(t.batch_size) % n_train, cfg.model.object_size
+    )
+    objects, text = steps_lib.prepare_coarse_batch(
+        init_batch, embedder, cfg, init_rng, train=False
+    )
+    state = steps_lib.init_train_state(model, optimizer, init_rng, objects, text)
+
+    if mesh is not None:
+        from text2loc_tpu.parallel.train import (
+            make_dp_coarse_train_step,
+            replicate_state,
+        )
+        from text2loc_tpu.parallel.mesh import shard_batch
+
+        step_fn = make_dp_coarse_train_step(model, embedder, cfg, optimizer, mesh)
+        state = replicate_state(state, mesh)
+        put = lambda b: shard_batch(b, mesh)
+    else:
+        step_fn = jax.jit(
+            steps_lib.make_coarse_train_step(model, embedder, cfg, optimizer),
+            donate_argnums=(0,),
+        )
+        put = lambda b: b
+
+    logger = MetricLogger(f"{workdir}/coarse_metrics.jsonl" if workdir else None)
+    ckpt = None
+    if workdir is not None:
+        from text2loc_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(f"{workdir}/coarse_ckpt", mode="max")
+
+    timer = StageTimer()
+    order_rng = np.random.default_rng(t.seed)
+    best_state = state
+    best_val = -np.inf
+    for epoch in range(t.epochs):
+        perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
+        losses = []
+        with timer.stage("train_epoch"):
+            for bstart in range(0, len(perm), t.batch_size):
+                idx = perm[bstart : bstart + t.batch_size]
+                batch = put(data_train.gather_coarse(idx, cfg.model.object_size))
+                rng, srng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, srng)
+                losses.append(metrics["loss"])
+        block_on(losses[-1] if losses else None)
+        mean_loss = float(np.mean([float(l) for l in losses]))
+
+        row = {"loss": mean_loss}
+        if data_val is not None and (epoch + 1) % eval_every == 0:
+            with timer.stage("eval_val"):
+                acc, acc_close, _ = eval_retrieval(
+                    data_val, state, model, embedder, cfg
+                )
+            # Best gating: mean recall over the configured k values, the
+            # reference's val top-k criterion (coarse.py:317-319).
+            val_acc = float(np.mean(list(acc.values())))
+            row.update({f"val_recall@{k}": v for k, v in acc.items()})
+            row["val_acc"] = val_acc
+            if val_acc > best_val:
+                best_val = val_acc
+                # Host copy: the train step donates its input state buffers,
+                # so a live device reference would be invalidated next step.
+                best_state = jax.device_get(state)
+                if ckpt is not None:
+                    ckpt.save(epoch, state, val_acc)
+        logger.log(epoch, **row)
+
+    print(timer.report(), flush=True)
+    if not np.isfinite(best_val):
+        best_state = jax.device_get(state)  # no val eval ran: return final
+    if workdir is not None:
+        logger.plot(f"{workdir}/coarse_metrics.png")
+        if ckpt is not None:
+            ckpt.close()
+    return best_state, model, logger
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--base_path", default=None, help="KITTI360Pose pickle root")
+    ap.add_argument("--array_cache", default=None, help="npz cache dir for ingest")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--learning_rate", type=float, default=None)
+    ap.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=off)")
+    ap.add_argument("--synthetic", action="store_true", help="smoke-run on synthetic scenes")
+    ap.add_argument("--debug_nans", action="store_true")
+    return ap
+
+
+def _apply_overrides(cfg: Config, args) -> Config:
+    train = cfg.train
+    for name in ("epochs", "batch_size", "learning_rate"):
+        v = getattr(args, name)
+        if v is not None:
+            train = dataclasses.replace(train, **{name: v})
+    return cfg.replace(train=train)
+
+
+def _load_data(cfg: Config, args):
+    if args.synthetic:
+        from text2loc_tpu.config import small_test_config
+        from text2loc_tpu.data.synthetic import make_scene
+
+        cfg = small_test_config()
+        cfg = _apply_overrides(cfg, args)
+        mk = lambda seed: MultiSceneArrays([
+            make_scene(
+                scene_name=f"{seed:04d}", num_cells=8, num_poses=32,
+                object_slots=cfg.model.object_size,
+                num_points=cfg.model.pointnet.num_points,
+                num_mentioned=cfg.model.num_mentioned, seed=seed,
+            )
+        ])
+        return cfg, mk(0), mk(1)
+    assert args.base_path, "--base_path or --synthetic required"
+    from text2loc_tpu.data.ingest import load_dataset
+
+    data_train = load_dataset(args.base_path, "train", out_dir=args.array_cache)
+    data_val = load_dataset(args.base_path, "val", out_dir=args.array_cache)
+    return cfg, data_train, data_val
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = Config().validate()
+    cfg = _apply_overrides(cfg, args)
+    if args.debug_nans:
+        from text2loc_tpu.utils.debug import enable_nan_debugging
+
+        enable_nan_debugging()
+    cfg, data_train, data_val = _load_data(cfg, args)
+    embedder = HintTextEmbedder.compositional(
+        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
+    )
+    mesh = None
+    if args.dp:
+        from text2loc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.dp)
+    train_coarse(cfg, data_train, data_val, embedder, workdir=args.workdir, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

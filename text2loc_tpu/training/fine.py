@@ -1,0 +1,205 @@
+"""Fine position-regressor training — the `training.fine` entry point.
+
+Rebuild of /root/reference/training/fine.py:133-290:
+
+* loss = offset_lambda (=5) x MSE(pred, target) (:65-68, 220) — inside the
+  jitted step (training/steps.py);
+* 3-epoch warm-up at lr=1e-5 before the real optimizer/scheduler (:222-235) —
+  expressed as one optax.join_schedules schedule, so the optimizer state never
+  has to be rebuilt mid-training;
+* Prototype-based Map Cloning: the reference re-derives candidate validity and
+  hint re-matching inside __getitem__ (poses.py:403-516); here the tables are
+  precomputed (text2loc_tpu.data.pmc) and the per-batch draw is a cheap
+  host-side categorical + integer gather;
+* best-val gating by mean pose offset error (:266-267), Orbax checkpoints.
+
+CLI:
+    python -m text2loc_tpu.training.fine --base_path DATA [--workdir W] ...
+    python -m text2loc_tpu.training.fine --synthetic
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import optax
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.data.arrays import MultiSceneArrays
+from text2loc_tpu.data.pmc import sample_pmc
+from text2loc_tpu.models.cross_matcher import CrossMatch
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training import steps as steps_lib
+from text2loc_tpu.utils.logging import MetricLogger
+from text2loc_tpu.utils.profiling import StageTimer, block_on
+
+
+def make_fine_optimizer(cfg: Config, steps_per_epoch: int):
+    """Warm-up then the configured schedule (reference fine.py:222-235)."""
+    t = cfg.train
+    main = steps_lib.make_lr_schedule(cfg, steps_per_epoch)
+    warm_steps = t.warmup_epochs * steps_per_epoch
+    if warm_steps <= 0:
+        return optax.adam(main)
+    sched = optax.join_schedules(
+        [optax.constant_schedule(t.warmup_lr), main], [warm_steps]
+    )
+    return optax.adam(sched)
+
+
+def eval_fine(
+    data: MultiSceneArrays,
+    state: steps_lib.TrainState,
+    model: CrossMatch,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+    batch_size: int = 64,
+) -> float:
+    """Mean pose-offset error on a split (reference fine.py:103-130):
+    each pose against its gt best cell, L2 in normalized cell units."""
+    forward = steps_lib.make_fine_forward(model, embedder, cfg)
+    rng = jax.random.PRNGKey(0)
+    n = data.num_poses
+    errs = []
+    for s in range(0, n, batch_size):
+        idx = np.arange(s, min(s + batch_size, n))
+        full = np.resize(idx, batch_size)
+        batch = data.gather_fine(full, cfg.model.pad_size)
+        pred = np.asarray(forward(state.params, state.batch_stats, batch, rng))
+        gt = batch["target"]
+        errs.extend(np.linalg.norm(pred - gt, axis=-1)[: len(idx)])
+    return float(np.mean(errs))
+
+
+def train_fine(
+    cfg: Config,
+    data_train: MultiSceneArrays,
+    data_val: Optional[MultiSceneArrays],
+    embedder: HintTextEmbedder,
+    workdir: Optional[str] = None,
+    mesh=None,
+    eval_every: int = 1,
+) -> Tuple[steps_lib.TrainState, CrossMatch, MetricLogger]:
+    t = cfg.train
+    model = CrossMatch(cfg.model)
+    n_train = data_train.num_poses
+    steps_per_epoch = max(n_train // t.batch_size, 1)
+    optimizer = make_fine_optimizer(cfg, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(t.seed)
+    rng, init_rng = jax.random.split(rng)
+    init_batch = data_train.gather_fine(
+        np.arange(t.batch_size) % n_train, cfg.model.pad_size
+    )
+    fb = steps_lib.prepare_fine_batch(init_batch, embedder, cfg, init_rng, train=False)
+    state = steps_lib.init_train_state(model, optimizer, init_rng, fb.objects, fb.text)
+
+    if mesh is not None:
+        from text2loc_tpu.parallel.mesh import shard_batch
+        from text2loc_tpu.parallel.train import (
+            make_dp_fine_train_step,
+            replicate_state,
+        )
+
+        step_fn = make_dp_fine_train_step(model, embedder, cfg, optimizer, mesh)
+        state = replicate_state(state, mesh)
+        put = lambda b: shard_batch(b, mesh)
+    else:
+        step_fn = jax.jit(
+            steps_lib.make_fine_train_step(model, embedder, cfg, optimizer),
+            donate_argnums=(0,),
+        )
+        put = lambda b: b
+
+    logger = MetricLogger(f"{workdir}/fine_metrics.jsonl" if workdir else None)
+    ckpt = None
+    if workdir is not None:
+        from text2loc_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(f"{workdir}/fine_ckpt", mode="min")
+
+    timer = StageTimer()
+    order_rng = np.random.default_rng(t.seed + 1)
+    best_state = state
+    best_val = np.inf
+    for epoch in range(t.epochs):
+        perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
+        losses, errors = [], []
+        with timer.stage("train_epoch"):
+            for bstart in range(0, len(perm), t.batch_size):
+                idx = perm[bstart : bstart + t.batch_size]
+                # PMC draw (no-op when tables are absent or pmc_prob == 0).
+                cell_idx, hint_obj = sample_pmc(
+                    data_train, idx, order_rng, t.pmc_prob
+                )
+                batch = data_train.gather_fine(
+                    idx, cfg.model.pad_size,
+                    cell_indices=cell_idx, hint_obj_idx=hint_obj,
+                )
+                rng, srng = jax.random.split(rng)
+                state, metrics = step_fn(state, put(batch), srng)
+                losses.append(metrics["loss"])
+                errors.append(metrics["pose_error"])
+        block_on(losses[-1] if losses else None)
+        row = {
+            "loss": float(np.mean([float(l) for l in losses])),
+            "pose_error": float(np.mean([float(e) for e in errors])),
+        }
+
+        if data_val is not None and (epoch + 1) % eval_every == 0:
+            with timer.stage("eval_val"):
+                val_err = eval_fine(data_val, state, model, embedder, cfg)
+            row["val_pose_error"] = val_err
+            if val_err < best_val:
+                best_val = val_err
+                best_state = jax.device_get(state)  # donation-safe copy
+                if ckpt is not None:
+                    ckpt.save(epoch, state, val_err)
+        logger.log(epoch, **row)
+
+    print(timer.report(), flush=True)
+    if not np.isfinite(best_val):
+        best_state = jax.device_get(state)
+    if workdir is not None:
+        logger.plot(f"{workdir}/fine_metrics.png")
+        if ckpt is not None:
+            ckpt.close()
+    return best_state, model, logger
+
+
+def main(argv=None):
+    from text2loc_tpu.training.coarse import (
+        _apply_overrides,
+        _load_data,
+        build_argparser,
+    )
+
+    ap = build_argparser()
+    ap.add_argument("--pmc_prob", type=float, default=None)
+    args = ap.parse_args(argv)
+    cfg = Config().validate()
+    cfg = _apply_overrides(cfg, args)
+    if args.pmc_prob is not None:
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, pmc_prob=args.pmc_prob))
+    if args.debug_nans:
+        from text2loc_tpu.utils.debug import enable_nan_debugging
+
+        enable_nan_debugging()
+    cfg, data_train, data_val = _load_data(cfg, args)
+    embedder = HintTextEmbedder.compositional(
+        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
+    )
+    mesh = None
+    if args.dp:
+        from text2loc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.dp)
+    train_fine(cfg, data_train, data_val, embedder, workdir=args.workdir, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

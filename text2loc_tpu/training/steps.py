@@ -144,7 +144,9 @@ def make_coarse_encoders(model: CellRetrievalNetwork, embedder: HintTextEmbedder
 
 def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
                        train: bool) -> FineBatch:
-    kp, _ = jax.random.split(rng)
+    kp, kf = jax.random.split(rng)
+    if train and cfg.train.flip_poses:
+        batch = augment.flip_coarse(batch, kf)
     xyz, rgb = augment.point_cloud_transform(
         batch["xyz"], batch["rgb"], kp,
         num_points=cfg.model.pointnet.num_points,
