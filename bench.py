@@ -22,10 +22,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    if os.environ.get("BENCH_VERBOSE", "1") != "0":
+        print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
 NUM_POSES = 512
@@ -49,6 +57,7 @@ def main():
 
     cfg = Config(model=ModelConfig(), train=TrainConfig()).validate()
     m = cfg.model
+    _log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     model = CrossMatch(m)
     embedder = HintTextEmbedder.compositional(
@@ -80,6 +89,7 @@ def main():
 
     total = len(pose_idx)
     assert total % CHUNK == 0, (total, CHUNK)
+    _log("gathering host batches")
     chunks = [
         data.gather_fine(
             pose_idx[i : i + CHUNK], m.pad_size, cell_indices=cell_idx[i : i + CHUNK]
@@ -87,6 +97,7 @@ def main():
         for i in range(0, total, CHUNK)
     ]
 
+    _log("initializing params")
     fb0 = steps_lib.prepare_fine_batch(chunks[0], embedder, cfg, rng, train=False)
     variables = model.init(
         {"params": rng, "dropout": rng}, fb0.objects, fb0.text, train=False
@@ -96,8 +107,10 @@ def main():
     forward = steps_lib.make_fine_forward(model, embedder, cfg)
 
     # Warmup (compile).
+    _log("compiling fine forward")
     out = forward(params, batch_stats, chunks[0], rng)
     out.block_until_ready()
+    _log("compiled; timing")
 
     iters = 5
     start = time.perf_counter()

@@ -1,0 +1,32 @@
+"""Evaluation CLI entry points (synthetic mode) + retrieval visualization."""
+
+import os
+
+import numpy as np
+
+
+def test_pipeline_cli_with_plots(tmp_path):
+    from text2loc_tpu.evaluation.cli import main_pipeline
+
+    png = str(tmp_path / "retrievals.png")
+    result = main_pipeline(["--synthetic", "--plot_retrievals", png])
+    assert set(result.keys()) >= {"coarse", "fine", "retrievals", "fine_qps"}
+    assert os.path.exists(png)
+
+
+def test_coarse_cli():
+    from text2loc_tpu.evaluation.cli import main_coarse
+
+    accs, retrievals = main_coarse(["--synthetic"])
+    assert retrievals.ndim == 2
+    for k, row in accs.items():
+        for t, v in row.items():
+            assert 0.0 <= v <= 1.0
+
+
+def test_render_cell_topdown(small_data):
+    from text2loc_tpu.evaluation.visualize import render_cell_topdown
+
+    img = render_cell_topdown(small_data, 0, size=64)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert img.any()  # something was drawn

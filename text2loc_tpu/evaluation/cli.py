@@ -1,0 +1,131 @@
+"""Evaluation CLIs — `python -m text2loc_tpu.evaluation.pipeline` equivalents.
+
+Rebuild of the reference entry points /root/reference/evaluation/pipeline.py:
+207-286 (coarse retrieval -> fine refinement -> two k x thresh tables) and
+evaluation/coarse.py:87-129 (retrieval only). Checkpoints are Orbax
+directories written by the trainers (--coarse_ckpt/--fine_ckpt point at the
+workdir subfolders).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import numpy as np
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+from text2loc_tpu.models.cross_matcher import CrossMatch
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training import steps as steps_lib
+
+
+def _init_coarse_state(cfg, model, embedder, data):
+    rng = jax.random.PRNGKey(0)
+    batch = data.gather_coarse(
+        np.arange(min(4, data.num_poses)), cfg.model.object_size
+    )
+    objects, text = steps_lib.prepare_coarse_batch(batch, embedder, cfg, rng, train=False)
+    optimizer = steps_lib.make_optimizer(cfg, 1)
+    return steps_lib.init_train_state(model, optimizer, rng, objects, text)
+
+
+def _init_fine_state(cfg, model, embedder, data):
+    rng = jax.random.PRNGKey(0)
+    batch = data.gather_fine(np.arange(min(4, data.num_poses)), cfg.model.pad_size)
+    fb = steps_lib.prepare_fine_batch(batch, embedder, cfg, rng, train=False)
+    optimizer = steps_lib.make_optimizer(cfg, 1)
+    return steps_lib.init_train_state(model, optimizer, rng, fb.objects, fb.text)
+
+
+def _restore(ckpt_dir, state):
+    from text2loc_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore(state)
+    mgr.close()
+    return restored
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--base_path", default=None)
+    ap.add_argument("--array_cache", default=None)
+    ap.add_argument("--coarse_ckpt", default=None)
+    ap.add_argument("--fine_ckpt", default=None)
+    ap.add_argument("--use_test_set", action="store_true")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--plot_retrievals", default=None,
+                    help="write a qualitative retrieval grid PNG here")
+    return ap
+
+
+def _load(args):
+    cfg = Config().validate()
+    if args.synthetic:
+        from text2loc_tpu.config import small_test_config
+        from text2loc_tpu.data.arrays import MultiSceneArrays
+        from text2loc_tpu.data.synthetic import make_scene
+
+        cfg = small_test_config()
+        cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, top_k=(1, 2, 3)))
+        data = MultiSceneArrays([
+            make_scene("0009", num_cells=8, num_poses=24,
+                       object_slots=cfg.model.object_size,
+                       num_points=cfg.model.pointnet.num_points,
+                       num_mentioned=cfg.model.num_mentioned, seed=9)
+        ])
+        return cfg, data
+    assert args.base_path
+    from text2loc_tpu.data.ingest import load_dataset
+
+    split = "test" if args.use_test_set else "val"
+    return cfg, load_dataset(args.base_path, split, out_dir=args.array_cache)
+
+
+def main_pipeline(argv=None):
+    from text2loc_tpu.evaluation.pipeline import run_pipeline
+
+    args = build_argparser().parse_args(argv)
+    cfg, data = _load(args)
+    embedder = HintTextEmbedder.compositional(
+        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
+    )
+    coarse_model = CellRetrievalNetwork(cfg.model)
+    fine_model = CrossMatch(cfg.model)
+    coarse_state = _init_coarse_state(cfg, coarse_model, embedder, data)
+    fine_state = _init_fine_state(cfg, fine_model, embedder, data)
+    if args.coarse_ckpt:
+        coarse_state = _restore(args.coarse_ckpt, coarse_state)
+    if args.fine_ckpt:
+        fine_state = _restore(args.fine_ckpt, fine_state)
+    result = run_pipeline(
+        data, coarse_state, coarse_model, fine_state, fine_model, embedder, cfg
+    )
+    if args.plot_retrievals:
+        from text2loc_tpu.evaluation.visualize import plot_retrieval_grid
+
+        plot_retrieval_grid(
+            data, result["retrievals"], args.plot_retrievals, max_queries=8
+        )
+    return result
+
+
+def main_coarse(argv=None):
+    from text2loc_tpu.evaluation.pipeline import run_coarse
+    from text2loc_tpu.evaluation.metrics import print_accuracies
+
+    args = build_argparser().parse_args(argv)
+    cfg, data = _load(args)
+    embedder = HintTextEmbedder.compositional(
+        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
+    )
+    model = CellRetrievalNetwork(cfg.model)
+    state = _init_coarse_state(cfg, model, embedder, data)
+    if args.coarse_ckpt:
+        state = _restore(args.coarse_ckpt, state)
+    accs, retrievals = run_coarse(data, state, model, embedder, cfg)
+    print_accuracies(accs, "Coarse")
+    return accs, retrievals

@@ -144,3 +144,9 @@ def run_pipeline(
         "pos_in_cells": pos_in_cells,
         "fine_qps": qps,
     }
+
+
+if __name__ == "__main__":
+    from text2loc_tpu.evaluation.cli import main_pipeline
+
+    main_pipeline()

@@ -1,0 +1,72 @@
+"""Qualitative visualization: top-down cell renders + retrieval grids.
+
+Parity with the reference's debug tooling: `plot_cell` top-down renders
+(/root/reference/datapreparation/kitti360pose/drawing.py:72) and the
+train-time retrieval grid with green/red success borders
+(/root/reference/training/utils.py:36-95, success = retrieved-cell center
+within 10 m of the query pose). Operates on SceneArrays instead of pickled
+object graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def render_cell_topdown(data, cell_idx: int, size: int = 128) -> np.ndarray:
+    """[size, size, 3] uint8 top-down scatter of a cell's object points."""
+    img = np.zeros((size, size, 3), np.uint8)
+    xyz = data.obj_xyz[cell_idx]      # [O, P, 3] normalized
+    rgb = data.obj_rgb[cell_idx]
+    mask = data.obj_mask[cell_idx]
+    for oi in np.nonzero(mask)[0]:
+        px = np.clip((xyz[oi, :, 0] * (size - 1)).astype(int), 0, size - 1)
+        py = np.clip(((1.0 - xyz[oi, :, 1]) * (size - 1)).astype(int), 0, size - 1)
+        img[py, px] = np.clip(rgb[oi] * 255.0, 0, 255).astype(np.uint8)
+    return img
+
+
+def _border(img: np.ndarray, color, width: int = 4) -> np.ndarray:
+    out = img.copy()
+    out[:width], out[-width:] = color, color
+    out[:, :width], out[:, -width:] = color, color
+    return out
+
+
+def plot_retrieval_grid(
+    data,
+    retrievals: np.ndarray,
+    path: str,
+    max_queries: int = 8,
+    success_dist: float = 10.0,
+    tile: int = 128,
+) -> Optional[str]:
+    """Rows = queries: [gt cell | top-k retrieved], green border when the
+    retrieved cell's center is within `success_dist` m of the query pose
+    (reference training/utils.py:60-85)."""
+    try:
+        import cv2
+    except Exception:
+        return None
+    q = min(max_queries, retrievals.shape[0])
+    k = retrievals.shape[1]
+    centers = 0.5 * (data.cell_bbox[:, 0:2] + data.cell_bbox[:, 3:5])
+
+    rows = []
+    for qi in range(q):
+        gt = render_cell_topdown(data, int(data.pose_cell_idx[qi]), tile)
+        tiles = [_border(gt, (255, 255, 255))]
+        for ki in range(k):
+            ci = int(retrievals[qi, ki])
+            dist = np.linalg.norm(data.pose_w[qi, :2] - centers[ci])
+            ok = (dist <= success_dist) and (
+                data.cell_scene_idx[ci] == data.pose_scene_idx[qi]
+            )
+            color = (0, 255, 0) if ok else (0, 0, 255)
+            tiles.append(_border(render_cell_topdown(data, ci, tile), color))
+        rows.append(np.concatenate(tiles, axis=1))
+    grid = np.concatenate(rows, axis=0)
+    cv2.imwrite(path, grid[:, :, ::-1])  # RGB -> BGR
+    return path

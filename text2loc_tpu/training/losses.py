@@ -124,6 +124,48 @@ def make_retrieval_loss(cfg):
     raise ValueError(f"unsupported ranking_loss {name!r} for pair losses")
 
 
+def nt_xent(z_i, z_j, temperature: float = 0.1,
+            axis_name: Optional[str] = None):
+    """SimCLR NT-Xent over 2B augmented views (reference losses.py:358-402).
+
+    The reference version is dead code — its cross-GPU `GatherLayer` is never
+    defined, so world_size > 1 would NameError (SURVEY.md section 2.6). This
+    is the working TPU-native version: with `axis_name`, both views are
+    all-gathered over ICI so every chip contrasts against the global 2B set.
+    """
+    if axis_name is not None:
+        z_i = jax.lax.all_gather(z_i, axis_name).reshape(-1, z_i.shape[-1])
+        z_j = jax.lax.all_gather(z_j, axis_name).reshape(-1, z_j.shape[-1])
+    b = z_i.shape[0]
+    z = l2_normalize(jnp.concatenate([z_i, z_j], axis=0).astype(jnp.float32))
+    sim = (z @ z.T) / temperature                     # [2B, 2B]
+    mask = jnp.eye(2 * b, dtype=bool)
+    sim = jnp.where(mask, -jnp.inf, sim)
+    # Positive of row r is r+B (mod 2B).
+    pos_idx = jnp.concatenate([jnp.arange(b) + b, jnp.arange(b)])
+    pos = sim[jnp.arange(2 * b), pos_idx]
+    return jnp.mean(jax.nn.logsumexp(sim, axis=1) - pos)
+
+
+def calc_recall_precision(gt_matches, pred_matches0, pred_matches1):
+    """Matching recall/precision (reference losses.py:34-63).
+
+    gt_matches: [M, 2] (obj_idx, hint_idx) gt pairs; bins use -1 on either
+    side. pred_matches0: [O] per-object predicted hint (-1 none);
+    pred_matches1: [S] per-hint predicted object (-1 none).
+    """
+    import numpy as np
+
+    gt = [tuple(m) for m in np.asarray(gt_matches)]
+    true_pairs = {m for m in gt if m[0] >= 0 and m[1] >= 0}
+    pred_pairs = {
+        (o, int(h)) for o, h in enumerate(np.asarray(pred_matches0)) if h >= 0
+    }
+    recall = len(true_pairs & pred_pairs) / max(len(true_pairs), 1)
+    precision = len(true_pairs & pred_pairs) / max(len(pred_pairs), 1)
+    return recall, precision
+
+
 # ---------------------------------------------------------------------------
 # Pose-error metrics
 # ---------------------------------------------------------------------------
