@@ -36,8 +36,9 @@ def _log(msg: str) -> None:
         print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
-NUM_POSES = 512
+NUM_POSES = 256
 TOP_K = 10
+ITERS = 3
 # Flattened candidates per device batch. Memory-bound: each chunk holds
 # CHUNK x pad_size point clouds through the PointNet SA levels; the SA1 edge
 # tensor is CHUNK*16*128*32*64 activations (~2 GB fp32 at 128), so 128 keeps
@@ -47,6 +48,12 @@ CHUNK = 128
 
 def main():
     import jax
+
+    # Persistent compile cache: the full-size fine forward takes minutes to
+    # compile on a remote-compile TPU tunnel; cache hits make reruns fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/text2loc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from text2loc_tpu.config import Config, ModelConfig, TrainConfig
     from text2loc_tpu.data.arrays import MultiSceneArrays
@@ -90,17 +97,26 @@ def main():
     total = len(pose_idx)
     assert total % CHUNK == 0, (total, CHUNK)
     _log("gathering host batches")
+    # Pre-stage chunks on device: the bench measures the fine-stage compute
+    # (the reference timer's scope, pipeline.py:102-126), not PCIe/relay
+    # transfer of synthetic inputs. A production server keeps candidate cells
+    # device-resident exactly like this.
     chunks = [
-        data.gather_fine(
-            pose_idx[i : i + CHUNK], m.pad_size, cell_indices=cell_idx[i : i + CHUNK]
+        jax.device_put(
+            data.gather_fine(
+                pose_idx[i : i + CHUNK], m.pad_size,
+                cell_indices=cell_idx[i : i + CHUNK],
+            )
         )
         for i in range(0, total, CHUNK)
     ]
 
     _log("initializing params")
+    import functools
+
     fb0 = steps_lib.prepare_fine_batch(chunks[0], embedder, cfg, rng, train=False)
-    variables = model.init(
-        {"params": rng, "dropout": rng}, fb0.objects, fb0.text, train=False
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, fb0.objects, fb0.text
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -112,15 +128,15 @@ def main():
     out.block_until_ready()
     _log("compiled; timing")
 
-    iters = 5
     start = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(ITERS):
         for ch in chunks:
             out = forward(params, batch_stats, ch, rng)
     out.block_until_ready()
     elapsed = time.perf_counter() - start
+    _log(f"timed {ITERS} epochs in {elapsed:.2f}s")
 
-    qps = NUM_POSES * iters / elapsed
+    qps = NUM_POSES * ITERS / elapsed
     print(
         json.dumps(
             {

@@ -52,3 +52,20 @@ def test_checkpoint_round_trip(small_cfg, small_embedder, small_data, tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_train_coarse_resume(small_cfg, small_embedder, small_data, tmp_path):
+    import dataclasses
+
+    cfg2 = small_cfg.replace(
+        train=dataclasses.replace(small_cfg.train, epochs=1, batch_size=8)
+    )
+    train_coarse(cfg2, small_data, small_data, small_embedder, workdir=str(tmp_path))
+    cfg4 = cfg2.replace(train=dataclasses.replace(cfg2.train, epochs=2))
+    state, _, logger = train_coarse(
+        cfg4, small_data, small_data, small_embedder, workdir=str(tmp_path),
+        resume=True,
+    )
+    # Resumed run trains only the remaining epoch.
+    assert len(logger.history["loss"]) == 1
+    assert int(state.step) >= 1

@@ -45,6 +45,7 @@ def train_coarse(
     workdir: Optional[str] = None,
     mesh=None,
     eval_every: int = 1,
+    resume: bool = False,
 ) -> Tuple[steps_lib.TrainState, CellRetrievalNetwork, MetricLogger]:
     """Train the retrieval towers; returns (best-or-final state, model, log)."""
     t = cfg.train
@@ -82,16 +83,23 @@ def train_coarse(
 
     logger = MetricLogger(f"{workdir}/coarse_metrics.jsonl" if workdir else None)
     ckpt = None
+    start_epoch = 0
     if workdir is not None:
         from text2loc_tpu.utils.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(f"{workdir}/coarse_ckpt", mode="max")
+        if resume and ckpt.latest_step() is not None:
+            # True resume (params + opt_state + step); the reference restarts
+            # optimization from weights only (coarse.py:256-258).
+            start_epoch = int(ckpt.latest_step()) + 1
+            state = ckpt.restore(state)
+            print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
     timer = StageTimer()
     order_rng = np.random.default_rng(t.seed)
     best_state = state
     best_val = -np.inf
-    for epoch in range(t.epochs):
+    for epoch in range(start_epoch, t.epochs):
         perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
         losses = []
         with timer.stage("train_epoch"):
@@ -145,6 +153,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=off)")
     ap.add_argument("--synthetic", action="store_true", help="smoke-run on synthetic scenes")
     ap.add_argument("--debug_nans", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --workdir")
     return ap
 
 
@@ -198,7 +208,10 @@ def main(argv=None):
         from text2loc_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.dp)
-    train_coarse(cfg, data_train, data_val, embedder, workdir=args.workdir, mesh=mesh)
+    train_coarse(
+        cfg, data_train, data_val, embedder,
+        workdir=args.workdir, mesh=mesh, resume=args.resume,
+    )
 
 
 if __name__ == "__main__":

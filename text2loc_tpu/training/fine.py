@@ -81,6 +81,7 @@ def train_fine(
     workdir: Optional[str] = None,
     mesh=None,
     eval_every: int = 1,
+    resume: bool = False,
 ) -> Tuple[steps_lib.TrainState, CrossMatch, MetricLogger]:
     t = cfg.train
     model = CrossMatch(cfg.model)
@@ -115,16 +116,21 @@ def train_fine(
 
     logger = MetricLogger(f"{workdir}/fine_metrics.jsonl" if workdir else None)
     ckpt = None
+    start_epoch = 0
     if workdir is not None:
         from text2loc_tpu.utils.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(f"{workdir}/fine_ckpt", mode="min")
+        if resume and ckpt.latest_step() is not None:
+            start_epoch = int(ckpt.latest_step()) + 1
+            state = ckpt.restore(state)
+            print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
     timer = StageTimer()
     order_rng = np.random.default_rng(t.seed + 1)
     best_state = state
     best_val = np.inf
-    for epoch in range(t.epochs):
+    for epoch in range(start_epoch, t.epochs):
         perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
         losses, errors = [], []
         with timer.stage("train_epoch"):
@@ -198,7 +204,10 @@ def main(argv=None):
         from text2loc_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.dp)
-    train_fine(cfg, data_train, data_val, embedder, workdir=args.workdir, mesh=mesh)
+    train_fine(
+        cfg, data_train, data_val, embedder,
+        workdir=args.workdir, mesh=mesh, resume=args.resume,
+    )
 
 
 if __name__ == "__main__":

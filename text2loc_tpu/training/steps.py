@@ -207,9 +207,12 @@ def make_fine_forward(model: CrossMatch, embedder: HintTextEmbedder, cfg: Config
 def init_train_state(model, optimizer, rng, objects: ObjectSet, text: TextSet,
                      method=None) -> TrainState:
     kp, kd = jax.random.split(rng)
-    variables = model.init(
-        {"params": kp, "dropout": kd}, objects, text, train=True, method=method
+    # Jit the init: flax init otherwise runs op-by-op (minutes over a remote
+    # TPU tunnel; also avoids materializing init intermediates).
+    init_fn = jax.jit(
+        functools.partial(model.init, train=True, method=method)
     )
+    variables = init_fn({"params": kp, "dropout": kd}, objects, text)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)
