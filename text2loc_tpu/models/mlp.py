@@ -40,7 +40,6 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
         reduce_axes = tuple(range(x.ndim - 1))
 
         ra_mean = self.variable(
@@ -53,6 +52,9 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
         if train:
+            # Statistics in f32; XLA fuses the cast into the reductions (no
+            # f32 copy of x materializes).
+            x32 = x.astype(jnp.float32)
             if mask is None:
                 count = jnp.array(
                     float(x32.size // self.features), dtype=jnp.float32
@@ -74,9 +76,14 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
-        y = y * scale + bias
-        return y.astype(orig_dtype)
+        # Apply as one folded affine in the input dtype: y = x*a + b with
+        # f32-precomputed per-channel a/b. Avoids materializing a full-size
+        # f32 copy of x (the SA edge tensors are GBs in the hot path) while
+        # keeping f32 statistics precision.
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        a = (scale * inv).astype(orig_dtype)
+        b = (bias - mean * scale * inv).astype(orig_dtype)
+        return x * a + b
 
 
 class MLP(nn.Module):

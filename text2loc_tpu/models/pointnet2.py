@@ -57,10 +57,13 @@ class SetAbstraction(nn.Module):
         """x: [N, P, C]; pos: [N, P, 3]; obj_mask: [N] real-object flags."""
         centers, _, _ = fps_gather(pos, None, self.num_samples)
         nbr_idx, nbr_mask = ball_query_knn(pos, centers, self.radius, self.max_neighbors)
-        nbr_x = gather_neighbors(x, nbr_idx)            # [N, S, K, C]
-        nbr_pos = gather_neighbors(pos, nbr_idx)        # [N, S, K, 3]
-        rel = nbr_pos - centers[:, :, None, :]
-        edge_feat = jnp.concatenate([nbr_x, rel.astype(x.dtype)], axis=-1)
+        # One fused gather for features + coordinates: the one-hot selection
+        # matmul is built once per level instead of twice.
+        both = jnp.concatenate([x, pos.astype(x.dtype)], axis=-1)
+        nbr = gather_neighbors(both, nbr_idx)           # [N, S, K, C+3]
+        nbr_x, nbr_pos = nbr[..., : x.shape[-1]], nbr[..., x.shape[-1] :]
+        rel = nbr_pos - centers[:, :, None, :].astype(x.dtype)
+        edge_feat = jnp.concatenate([nbr_x, rel], axis=-1)
 
         bn_mask = nbr_mask
         if obj_mask is not None:

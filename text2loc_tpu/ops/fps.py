@@ -102,9 +102,11 @@ def fps_gather(points: jax.Array, features, num_samples: int):
     Returns:
         (sub_points [N, S, 3], sub_features [N, S, C] or None, indices [N, S])
     """
+    from text2loc_tpu.ops.ballquery import onehot_gather
+
     idx = farthest_point_sampling(points, num_samples)
-    sub_points = jnp.take_along_axis(points, idx[:, :, None], axis=1)
+    sub_points = onehot_gather(points, idx)
     sub_features = None
     if features is not None:
-        sub_features = jnp.take_along_axis(features, idx[:, :, None], axis=1)
+        sub_features = onehot_gather(features, idx)
     return sub_points, sub_features, idx
