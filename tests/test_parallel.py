@@ -82,3 +82,15 @@ def test_dp_coarse_step_matches_single_chip(small_cfg, small_embedder, small_dat
     # Params actually moved.
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_shard_batch_multihost_single_process(small_data, small_cfg):
+    from text2loc_tpu.parallel.mesh import shard_batch_multihost
+
+    mesh = make_mesh(8)
+    batch = small_data.gather_coarse(np.arange(8), small_cfg.model.object_size)
+    global_batch = shard_batch_multihost(batch, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(global_batch["hint_dir"]), batch["hint_dir"]
+    )
+    assert global_batch["xyz"].sharding.spec == jax.sharding.PartitionSpec("dp")

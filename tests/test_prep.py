@@ -171,3 +171,32 @@ def test_full_prep_pipeline(raw_scene):
     assert scene.num_cells == len(cells)
     assert scene.num_poses == len(poses)
     assert scene.obj_mask.any(axis=1).all()
+
+
+def test_image_extraction(tmp_path):
+    """db/query split of trajectory frames (prep/images.py)."""
+    from text2loc_tpu.prep.images import create_poses_and_images, sample_poses
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    rows = []
+    for i, x in enumerate(np.arange(0.0, 200.0, 2.0)):
+        mat = np.hstack([np.eye(3), np.array([[x], [0.0], [1.0]])])
+        rows.append(np.r_[i, mat.ravel()])
+        (img_dir / f"{i:010d}.png").write_bytes(b"png")
+    poses_txt = tmp_path / "poses.txt"
+    np.savetxt(poses_txt, np.array(rows))
+
+    pos, rot, ids = sample_poses(str(poses_txt), 10.0)
+    assert len(pos) == len(rot) == len(ids)
+    assert np.all(np.diff(pos[:, 0]) >= 10.0)
+
+    out = tmp_path / "out"
+    n_db, n_q = create_poses_and_images(
+        str(poses_txt), str(img_dir), str(out), db_dist=20.0, query_dist=5.0,
+        step=1,
+    )
+    assert n_db >= 5 and n_q >= 5
+    assert len(list((out / "real" / "db").iterdir())) == n_db
+    assert len(list((out / "real" / "query").iterdir())) == n_q
+    assert (out / "poses_db.pkl").exists()

@@ -121,17 +121,21 @@ class HintTextEmbedder:
     @classmethod
     def from_t5(
         cls,
-        model_name_or_path: str,
+        model_name_or_path: Optional[str] = None,
         max_tokens: int = 32,
         batch_size: int = 64,
         cache_path: Optional[str] = None,
+        model=None,
+        tokenizer=None,
     ) -> "HintTextEmbedder":
         """Build the table by running frozen T5 over the hint vocabulary once.
 
         Equivalent to the reference's online frozen-T5 forward
         (language_encoder.py:116-128) but amortized to a single offline pass.
         Requires locally available HF weights (no network fetch is attempted
-        beyond what `transformers` does with local caches).
+        beyond what `transformers` does with local caches). Pass `model` and
+        `tokenizer` objects directly to skip the HF load (tests, custom
+        frozen encoders).
         """
         import os
 
@@ -140,10 +144,12 @@ class HintTextEmbedder:
             return cls(data["table"], data["token_mask"])
 
         import torch  # CPU-only torch is fine; this is a one-shot offline pass
-        from transformers import AutoTokenizer, T5EncoderModel
 
-        tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
-        model = T5EncoderModel.from_pretrained(model_name_or_path).eval()
+        if model is None or tokenizer is None:
+            from transformers import AutoTokenizer, T5EncoderModel
+
+            tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+            model = T5EncoderModel.from_pretrained(model_name_or_path).eval()
 
         sentences: List[str] = []
         for d in range(C.NUM_DIRECTIONS):

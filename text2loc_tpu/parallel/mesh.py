@@ -52,3 +52,21 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def shard_batch_multihost(batch, mesh: Mesh, axis_name: str = "dp"):
+    """Multi-host variant of shard_batch: each process supplies only its
+    process-local slice of the global batch (shape B_global/num_processes on
+    axis 0) and the runtime assembles the global sharded array. Single-process
+    meshes degrade to plain shard_batch semantics.
+
+    The reference has no multi-process input path at all (its DataLoader is
+    one process feeding one GPU, SURVEY.md section 1); this is the
+    multi-host-ready pipeline hook (SURVEY.md section 7.2 item 7).
+    """
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batch)
