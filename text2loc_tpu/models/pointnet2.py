@@ -21,9 +21,11 @@ valid edges of *real* (non-padding) objects only.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from text2loc_tpu.config import PointNetConfig
@@ -31,6 +33,20 @@ from text2loc_tpu.models.mlp import get_mlp
 from text2loc_tpu.ops.ballquery import ball_query_knn, gather_neighbors
 from text2loc_tpu.ops.fps import fps_gather
 from text2loc_tpu.ops.masked import masked_max
+from text2loc_tpu.ops.pallas_pointconv import fold_bn_affine, fused_set_abstraction
+
+
+def _fused_auto() -> bool:
+    """Opt-in (TEXT2LOC_FUSED_SA=1): measured on v5e at the reference scale
+    (2048 clouds x 256 pts), the one-hot-gather XLA path beats the fused
+    kernel (~50ms vs ~115ms — the kernel's per-cloud sequential K-nearest
+    rounds dominate at K=32, S<=128). The kernel wins when P grows and HBM
+    edge traffic dominates; revisit with multi-cloud tiling."""
+    return (
+        os.environ.get("TEXT2LOC_FUSED_SA") == "1"
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
+    )
 
 
 class PointNetFeatures(NamedTuple):
@@ -44,18 +60,81 @@ class PointNetFeatures(NamedTuple):
 
 
 class SetAbstraction(nn.Module):
-    """One SA level: FPS downsample + ball-query + PointConv (max aggr)."""
+    """One SA level: FPS downsample + ball-query + PointConv (max aggr).
+
+    Two execution paths over ONE parameter set:
+    * training / non-TPU: one-hot MXU gathers + masked edge MLP + masked max
+      (batch-global BatchNorm statistics, reference get_mlp semantics);
+    * TPU inference: the fused Pallas kernel (ops/pallas_pointconv.py) with
+      BatchNorm pre-folded from the running statistics — no HBM edge tensors.
+
+    Parameters are declared explicitly (dense_l_kernel/bias, bn_l_scale/bias +
+    bn_l_mean/var stats) so the fused path can fold affines directly; the
+    naming is what models/torch_convert.convert_pointnet_checkpoint targets.
+    """
 
     num_samples: int
     radius: float
     mlp_channels: tuple
     max_neighbors: int
     dtype: jnp.dtype = jnp.float32
+    fused: Optional[bool] = None      # None = auto (TPU backend, inference)
+    fused_interpret: bool = False     # interpret-mode kernel (tests)
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, pos, obj_mask=None, train: bool = False):
         """x: [N, P, C]; pos: [N, P, 3]; obj_mask: [N] real-object flags."""
+        ch = tuple(self.mlp_channels)
+        assert len(ch) == 3, "SA levels are two-layer MLPs (reference ladder)"
+        cin, h1, h2 = ch
+        c = x.shape[-1]
+        assert cin == c + 3, (cin, c)
+
+        kernels, biases, scales, shifts, means, variances = [], [], [], [], [], []
+        for l, (ci, co) in enumerate(((cin, h1), (h1, h2))):
+            kernels.append(self.param(
+                f"dense_{l}_kernel", nn.initializers.lecun_normal(), (ci, co),
+                jnp.float32,
+            ))
+            biases.append(self.param(
+                f"dense_{l}_bias", nn.initializers.zeros, (co,), jnp.float32
+            ))
+            scales.append(self.param(
+                f"bn_{l}_scale", nn.initializers.ones, (co,), jnp.float32
+            ))
+            shifts.append(self.param(
+                f"bn_{l}_bias", nn.initializers.zeros, (co,), jnp.float32
+            ))
+            means.append(self.variable(
+                "batch_stats", f"bn_{l}_mean", lambda co=co: jnp.zeros((co,), jnp.float32)
+            ))
+            variances.append(self.variable(
+                "batch_stats", f"bn_{l}_var", lambda co=co: jnp.ones((co,), jnp.float32)
+            ))
+
         centers, _, _ = fps_gather(pos, None, self.num_samples)
+
+        use_fused = self.fused if self.fused is not None else _fused_auto()
+        if not train and use_fused and not self.is_initializing():
+            ab = [
+                fold_bn_affine(
+                    biases[l], scales[l], shifts[l],
+                    means[l].value, variances[l].value, self.bn_eps,
+                )
+                for l in range(2)
+            ]
+            w0 = kernels[0].astype(self.dtype)
+            out = fused_set_abstraction(
+                x.astype(self.dtype), pos, centers,
+                w0[:c], w0[c:], ab[0],
+                kernels[1].astype(self.dtype), ab[1],
+                radius=self.radius, k=self.max_neighbors,
+                interpret=self.fused_interpret,
+            )
+            return out, centers
+
         nbr_idx, nbr_mask = ball_query_knn(pos, centers, self.radius, self.max_neighbors)
         # One fused gather for features + coordinates: the one-hot selection
         # matmul is built once per level instead of twice.
@@ -63,16 +142,41 @@ class SetAbstraction(nn.Module):
         nbr = gather_neighbors(both, nbr_idx)           # [N, S, K, C+3]
         nbr_x, nbr_pos = nbr[..., : x.shape[-1]], nbr[..., x.shape[-1] :]
         rel = nbr_pos - centers[:, :, None, :].astype(x.dtype)
-        edge_feat = jnp.concatenate([nbr_x, rel], axis=-1)
+        h = jnp.concatenate([nbr_x, rel], axis=-1)
 
         bn_mask = nbr_mask
         if obj_mask is not None:
             bn_mask = nbr_mask & jnp.asarray(obj_mask, bool)[:, None, None]
-        h = get_mlp(self.mlp_channels, dtype=self.dtype)(
-            edge_feat, mask=bn_mask, train=train
-        )
+        for l in range(2):
+            h = jnp.dot(h, kernels[l].astype(self.dtype)) + biases[l].astype(self.dtype)
+            h = self._masked_bn(h, bn_mask, l, scales[l], shifts[l],
+                                means[l], variances[l], train)
+            h = nn.relu(h)
         out = masked_max(h, nbr_mask, axis=2)           # [N, S, C_out]
         return out, centers
+
+    def _masked_bn(self, z, mask, l, scale, bias, ra_mean, ra_var, train):
+        """BatchNorm1d over valid edges (MaskedBatchNorm semantics inlined on
+        the raw variables so both execution paths share one parameter set)."""
+        if train:
+            z32 = z.astype(jnp.float32)
+            m = jnp.asarray(mask, bool)
+            while m.ndim < z32.ndim:
+                m = m[..., None]
+            mf = m.astype(jnp.float32)
+            count = jnp.maximum(jnp.sum(mf), 1.0)
+            mean = jnp.sum(z32 * mf, axis=tuple(range(z.ndim - 1))) / count
+            var = jnp.sum(((z32 - mean) ** 2) * mf, axis=tuple(range(z.ndim - 1))) / count
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (1 - self.bn_momentum) * ra_mean.value + self.bn_momentum * mean
+                ra_var.value = (1 - self.bn_momentum) * ra_var.value + self.bn_momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jnp.reciprocal(jnp.sqrt(var + self.bn_eps))
+        a = (scale * inv).astype(z.dtype)
+        b = (bias - mean * scale * inv).astype(z.dtype)
+        return z * a + b
 
 
 class GlobalAbstraction(nn.Module):
@@ -100,6 +204,8 @@ class PointNet2(nn.Module):
     num_classes: int
     num_colors: int
     dtype: jnp.dtype = jnp.float32
+    fused: Optional[bool] = None
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, xyz, rgb, obj_mask=None, train: bool = False) -> PointNetFeatures:
@@ -112,6 +218,8 @@ class PointNet2(nn.Module):
                 mlp_channels=c.sa_mlps[i],
                 max_neighbors=c.sa_max_neighbors,
                 dtype=self.dtype,
+                fused=self.fused,
+                fused_interpret=self.fused_interpret,
                 name=f"sa{i + 1}",
             )(x, pos, obj_mask=obj_mask, train=train)
 

@@ -155,8 +155,18 @@ def convert_pointnet_checkpoint(sd: Mapping[str, np.ndarray], num_sa: int = 3):
                 break
         else:
             raise KeyError(f"sa{i} local_nn not found")
-        params[f"sa{i}"] = {f"MLP_0": p}
-        stats[f"sa{i}"] = {f"MLP_0": s}
+        # SetAbstraction declares flat raw params (dense_l_kernel/... ) so the
+        # fused inference kernel can fold BN affines — flatten accordingly.
+        flat_p, flat_s = {}, {}
+        for l in range(len(p) // 2):
+            flat_p[f"dense_{l}_kernel"] = p[f"dense_{l}"]["kernel"]
+            flat_p[f"dense_{l}_bias"] = p[f"dense_{l}"]["bias"]
+            flat_p[f"bn_{l}_scale"] = p[f"bn_{l}"]["scale"]
+            flat_p[f"bn_{l}_bias"] = p[f"bn_{l}"]["bias"]
+            flat_s[f"bn_{l}_mean"] = s[f"bn_{l}"]["mean"]
+            flat_s[f"bn_{l}_var"] = s[f"bn_{l}"]["var"]
+        params[f"sa{i}"] = flat_p
+        stats[f"sa{i}"] = flat_s
 
     for cand in ("ga.nn", "ga.mlp", "ga.local_nn"):
         if f"{cand}.0.weight" in sd:
