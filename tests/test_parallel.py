@@ -94,3 +94,29 @@ def test_shard_batch_multihost_single_process(small_data, small_cfg):
         np.asarray(global_batch["hint_dir"]), batch["hint_dir"]
     )
     assert global_batch["xyz"].sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_eval_retrieval_with_mesh(small_cfg, small_embedder, small_data):
+    """eval_retrieval routed through the sharded gallery matches dense."""
+    from text2loc_tpu.evaluation.retrieval import eval_retrieval
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+
+    cfg = small_cfg
+    model = CellRetrievalNetwork(cfg.model)
+    optimizer = steps_lib.make_optimizer(cfg, 1)
+    rng = jax.random.PRNGKey(0)
+    batch = small_data.gather_coarse(np.arange(4), cfg.model.object_size)
+    objects, text = steps_lib.prepare_coarse_batch(
+        batch, small_embedder, cfg, rng, train=False
+    )
+    state = steps_lib.init_train_state(model, optimizer, rng, objects, text)
+
+    acc_d, close_d, idx_d = eval_retrieval(
+        small_data, state, model, small_embedder, cfg
+    )
+    mesh = make_mesh(8)
+    acc_s, close_s, idx_s = eval_retrieval(
+        small_data, state, model, small_embedder, cfg, mesh=mesh
+    )
+    assert acc_d == acc_s and close_d == close_s
+    np.testing.assert_array_equal(idx_d, idx_s)

@@ -93,8 +93,12 @@ def eval_retrieval(
     cfg: Config,
     top_k: Optional[Sequence[int]] = None,
     rng: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[Dict[int, float], Dict[int, float], np.ndarray]:
     """Full eval_epoch equivalent (reference training/coarse.py:63-157).
+
+    With a mesh, the gallery is sharded across chips and top-k candidates are
+    merged over ICI (text2loc_tpu.parallel.retrieval).
 
     Returns (top-k recall, close recall, retrieved gallery indices [Q, max_k]).
     """
@@ -105,7 +109,12 @@ def eval_retrieval(
     cell_enc = encode_gallery(data, state, encode_cells, cfg, rng)
     text_enc = encode_queries(data, state, encode_text, cfg)
     k = min(max(top_k), data.num_cells)
-    _, idx = topk_retrieval(jnp.asarray(cell_enc), jnp.asarray(text_enc), k)
+    if mesh is not None:
+        from text2loc_tpu.parallel.retrieval import sharded_topk_retrieval
+
+        _, idx = sharded_topk_retrieval(cell_enc, text_enc, k, mesh)
+    else:
+        _, idx = topk_retrieval(jnp.asarray(cell_enc), jnp.asarray(text_enc), k)
     idx = np.asarray(idx)
 
     cell_centers = 0.5 * (data.cell_bbox[:, 0:2] + data.cell_bbox[:, 3:5])
