@@ -128,12 +128,16 @@ def main():
     out.block_until_ready()
     _log("compiled; timing")
 
-    start = time.perf_counter()
-    for _ in range(ITERS):
-        for ch in chunks:
-            out = forward(params, batch_stats, ch, rng)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    from text2loc_tpu.utils.profiling import profile_trace
+
+    with profile_trace(profile_dir):
+        start = time.perf_counter()
+        for _ in range(ITERS):
+            for ch in chunks:
+                out = forward(params, batch_stats, ch, rng)
+        out.block_until_ready()
+        elapsed = time.perf_counter() - start
     _log(f"timed {ITERS} epochs in {elapsed:.2f}s")
 
     qps = NUM_POSES * ITERS / elapsed

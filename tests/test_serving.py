@@ -1,0 +1,58 @@
+"""Serving API: gallery held on device, batched text->position queries."""
+
+import jax
+import numpy as np
+
+from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+from text2loc_tpu.models.cross_matcher import CrossMatch
+from text2loc_tpu.parallel import make_mesh
+from text2loc_tpu.serving import Localizer
+from text2loc_tpu.training import steps
+
+
+def _states(cfg, embedder, data):
+    rng = jax.random.PRNGKey(0)
+    opt = steps.make_optimizer(cfg, 1)
+    coarse_model = CellRetrievalNetwork(cfg.model)
+    cb = data.gather_coarse(np.arange(4), cfg.model.object_size)
+    cobj, ctext = steps.prepare_coarse_batch(cb, embedder, cfg, rng, train=False)
+    coarse_state = steps.init_train_state(coarse_model, opt, rng, cobj, ctext)
+
+    fine_model = CrossMatch(cfg.model)
+    fb = data.gather_fine(np.arange(4), cfg.model.pad_size)
+    pfb = steps.prepare_fine_batch(fb, embedder, cfg, rng, train=False)
+    fine_state = steps.init_train_state(fine_model, opt, rng, pfb.objects, pfb.text)
+    return coarse_state, coarse_model, fine_state, fine_model
+
+
+def test_localizer_roundtrip(small_cfg, small_embedder, small_data):
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    loc = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3)
+
+    q = np.arange(5)
+    res = loc.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    assert res.position_w.shape == (5, 2)
+    assert res.candidates_w.shape == (5, 3, 2)
+    assert res.cell_indices.shape == (5, 3)
+    # Candidate positions land inside (or near) their cells' bboxes.
+    bbox = data.cell_bbox[res.cell_indices]
+    margin = 15.0
+    assert (res.candidates_w[..., 0] >= bbox[..., 0] - margin).all()
+    assert (res.candidates_w[..., 0] <= bbox[..., 3] + margin).all()
+    # Scores sorted descending per query.
+    assert (np.diff(res.scores, axis=1) <= 1e-6).all()
+
+
+def test_localizer_sharded_gallery(small_cfg, small_embedder, small_data):
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    dense = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3)
+    mesh = make_mesh(8)
+    sharded = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3, mesh=mesh)
+
+    q = np.arange(4)
+    a = dense.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    b = sharded.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+    np.testing.assert_allclose(a.position_w, b.position_w, atol=1e-5)

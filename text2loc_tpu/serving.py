@@ -1,0 +1,135 @@
+"""End-to-end localization service: text hints -> world position.
+
+The reference's only inference surface is the benchmark script
+(/root/reference/evaluation/pipeline.py). This wraps the same coarse-to-fine
+stack as a reusable serving object for production use:
+
+* the cell gallery is encoded ONCE and held device-resident (optionally
+  sharded over a mesh for city-scale galleries);
+* a query (one hint set) runs: text tower -> top-k gallery retrieval ->
+  batched CrossMatch refinement over the k candidates -> top-1 world position
+  (plus the per-candidate positions/scores for downstream fusion).
+
+Queries are fixed-shape, so the whole serve path compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2loc_tpu.config import Config
+from text2loc_tpu.data.arrays import MultiSceneArrays
+from text2loc_tpu.evaluation.retrieval import (
+    encode_gallery,
+    make_coarse_encoders,
+    topk_retrieval,
+)
+from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.training import steps as steps_lib
+from text2loc_tpu.training.steps import TrainState
+
+
+class LocalizationResult(NamedTuple):
+    position_w: np.ndarray       # [B, 2] top-1 world position per query
+    candidates_w: np.ndarray     # [B, K, 2] per-candidate world positions
+    cell_indices: np.ndarray     # [B, K] retrieved gallery cells
+    scores: np.ndarray           # [B, K] retrieval similarities
+
+
+class Localizer:
+    """Production query path over a fixed cell gallery."""
+
+    def __init__(
+        self,
+        data: MultiSceneArrays,
+        coarse_state: TrainState,
+        coarse_model,
+        fine_state: TrainState,
+        fine_model,
+        embedder: HintTextEmbedder,
+        cfg: Config,
+        top_k: int = 10,
+        mesh=None,
+    ):
+        self.data = data
+        self.cfg = cfg
+        self.top_k = min(top_k, data.num_cells)
+        self.embedder = embedder
+        self.coarse_state = coarse_state
+        self.fine_state = fine_state
+        self.mesh = mesh
+
+        encode_cells, encode_text = make_coarse_encoders(coarse_model, embedder, cfg)
+        self._encode_text = encode_text
+        gallery = encode_gallery(data, coarse_state, encode_cells, cfg,
+                                 jax.random.PRNGKey(0))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from text2loc_tpu.parallel.retrieval import make_sharded_topk, pad_gallery
+
+            padded, c = pad_gallery(gallery, mesh.devices.size)
+            self._gallery = jax.device_put(
+                padded, NamedSharding(mesh, P(mesh.axis_names[0]))
+            )
+            self._topk = make_sharded_topk(mesh, self.top_k, c)
+        else:
+            self._gallery = jnp.asarray(gallery)
+            self._topk = None
+        self._fine_forward = steps_lib.make_fine_forward(fine_model, embedder, cfg)
+        self._rng = jax.random.PRNGKey(0)
+
+    def localize(self, hint_dir: np.ndarray, hint_color: np.ndarray,
+                 hint_label: np.ndarray) -> LocalizationResult:
+        """hint_*: [B, S] int32 hint triples -> positions.
+
+        The fine stage refines all B*K candidates in one device batch (the
+        reference loops poses one at a time, pipeline.py:105-126).
+        """
+        batch = {
+            "hint_dir": np.asarray(hint_dir),
+            "hint_color": np.asarray(hint_color),
+            "hint_label": np.asarray(hint_label),
+        }
+        text_enc = self._encode_text(
+            self.coarse_state.params, self.coarse_state.batch_stats, batch
+        )
+        if self._topk is not None:
+            scores, idx = self._topk(self._gallery, text_enc)
+        else:
+            scores, idx = topk_retrieval(self._gallery, text_enc, self.top_k)
+        idx = np.asarray(idx)
+        scores = np.asarray(scores)
+
+        b, k = idx.shape
+        rep = np.repeat(np.arange(b), k)  # hint rows replicate per candidate
+        fine_batch = self.data.gather_cell_objects(
+            idx.reshape(-1), self.cfg.model.pad_size
+        )
+        fine_batch.update(
+            hint_dir=batch["hint_dir"][rep],
+            hint_color=batch["hint_color"][rep],
+            hint_label=batch["hint_label"][rep],
+            target=np.zeros((b * k, 2), np.float32),
+            pose_in_cell=np.zeros((b * k, 2), np.float32),
+        )
+        pred = np.asarray(
+            self._fine_forward(
+                self.fine_state.params, self.fine_state.batch_stats,
+                fine_batch, self._rng,
+            )
+        ).reshape(b, k, 2)
+
+        bbox = self.data.cell_bbox[idx]                  # [B, K, 6]
+        size = self.data.cell_size[idx][..., None]
+        cand_w = bbox[..., 0:2] + pred * size            # [B, K, 2]
+        return LocalizationResult(
+            position_w=cand_w[:, 0],
+            candidates_w=cand_w,
+            cell_indices=idx,
+            scores=scores,
+        )
