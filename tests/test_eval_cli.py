@@ -30,3 +30,14 @@ def test_render_cell_topdown(small_data):
     img = render_cell_topdown(small_data, 0, size=64)
     assert img.shape == (64, 64, 3) and img.dtype == np.uint8
     assert img.any()  # something was drawn
+
+
+def test_render_pose_in_cell(small_data):
+    from text2loc_tpu.evaluation.visualize import render_pose_in_cell
+
+    img = render_pose_in_cell(small_data, 0, size=96,
+                              pred_in_cell=np.array([0.5, 0.5]))
+    assert img.shape == (96, 96, 3)
+    # Crosses drawn (white gt + magenta pred present).
+    assert (img == (255, 255, 255)).all(axis=-1).any()
+    assert (img == (255, 0, 255)).all(axis=-1).any()

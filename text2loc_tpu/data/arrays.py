@@ -308,11 +308,13 @@ class MultiSceneArrays:
             "mask": self.obj_mask[ci[:, None], order],
         }
         bbox = self.cell_bbox[ci]
-        size = np.maximum(bbox[:, 3] - bbox[:, 0], 1e-9)
+        # Both axes normalized by the scalar cell_size (the longest edge) —
+        # the reference's new_pose convention (poses.py:74-75, 419).
+        size = np.maximum(self.cell_size[ci], 1e-9)
         target = np.stack(
             [
                 (self.pose_w[pi, 0] - bbox[:, 0]) / size,
-                (self.pose_w[pi, 1] - bbox[:, 1]) / np.maximum(bbox[:, 4] - bbox[:, 1], 1e-9),
+                (self.pose_w[pi, 1] - bbox[:, 1]) / size,
             ],
             axis=-1,
         ).astype(np.float32)

@@ -28,6 +28,42 @@ def render_cell_topdown(data, cell_idx: int, size: int = 128) -> np.ndarray:
     return img
 
 
+def render_pose_in_cell(data, pose_idx: int, size: int = 256,
+                        pred_in_cell: Optional[np.ndarray] = None) -> np.ndarray:
+    """Top-down render of a pose in its best cell: described (matched) objects
+    circled, gt pose as a white cross, optional prediction as a magenta cross
+    (reference drawing.py plot_pose_in_best_cell:123 + training/utils.py
+    plot_matches:18 combined)."""
+    ci = int(data.pose_cell_idx[pose_idx])
+    img = render_cell_topdown(data, ci, size)
+
+    def cross(img, xy, color, r=5):
+        px = int(np.clip(xy[0] * (size - 1), 0, size - 1))
+        py = int(np.clip((1.0 - xy[1]) * (size - 1), 0, size - 1))
+        img[max(py - r, 0): py + r + 1, px] = color
+        img[py, max(px - r, 0): px + r + 1] = color
+        return img
+
+    # Circle matched objects' centers.
+    for si in range(data.hint_dir.shape[1]):
+        oi = int(data.hint_obj_idx[pose_idx, si])
+        if oi < 0:
+            continue
+        cx, cy = data.obj_center[ci, oi, :2]
+        px = int(np.clip(cx * (size - 1), 0, size - 1))
+        py = int(np.clip((1.0 - cy) * (size - 1), 0, size - 1))
+        rr = 8
+        for ang in np.linspace(0, 2 * np.pi, 40):
+            qx = int(np.clip(px + rr * np.cos(ang), 0, size - 1))
+            qy = int(np.clip(py + rr * np.sin(ang), 0, size - 1))
+            img[qy, qx] = (255, 255, 0)
+
+    img = cross(img, data.pose_in_cell[pose_idx], (255, 255, 255))
+    if pred_in_cell is not None:
+        img = cross(img, np.asarray(pred_in_cell), (255, 0, 255))
+    return img
+
+
 def _border(img: np.ndarray, color, width: int = 4) -> np.ndarray:
     out = img.copy()
     out[:width], out[-width:] = color, color
