@@ -160,3 +160,20 @@ def test_npz_round_trip(tiny_dataset, tmp_path):
     np.testing.assert_array_equal(a.hint_dir, b.hint_dir)
     np.testing.assert_array_equal(a.cell_neighbors, b.cell_neighbors)
     assert a.cell_ids == b.cell_ids
+
+
+def test_sample_close_cell_option(tiny_dataset):
+    """gather_coarse with sample_close_rng picks in-range, same-scene cells."""
+    base, cells, poses = tiny_dataset
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+
+    scenes = convert_base_path(str(base), [SCENE], store_points=16)
+    data = MultiSceneArrays(scenes)
+    rng = np.random.default_rng(0)
+    pi = np.arange(data.num_poses)
+    batch = data.gather_coarse(pi, 8, sample_close_rng=rng)
+    centers = 0.5 * (data.cell_bbox[:, :2] + data.cell_bbox[:, 3:5])
+    for i, p in enumerate(pi):
+        ci = batch["cell_index"][i]
+        d = np.linalg.norm(centers[ci] - data.pose_w[p, :2])
+        assert d <= data.cell_size[ci] / 2 + 1e-6

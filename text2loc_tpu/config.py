@@ -112,6 +112,8 @@ class TrainConfig:
     shuffle_hints: bool = True
     flip_poses: bool = True
     pc_augment: bool = True               # random z-rotation + normalize-scale
+    sample_close_cell: bool = False       # positive = any cell within
+                                          # cell_size/2 (cells.py:69-74)
 
     top_k: Tuple[int, ...] = (1, 3, 5)
     loss: LossConfig = field(default_factory=LossConfig)

@@ -227,10 +227,33 @@ class MultiSceneArrays:
             "mask": self.obj_mask[ci, :o_cap],
         }
 
-    def gather_coarse(self, pose_indices: np.ndarray, object_size: int) -> Dict[str, np.ndarray]:
-        """Per-pose coarse sample: positive cell objects + hint triples."""
+    def close_cells(self, pose_idx: int) -> np.ndarray:
+        """Gallery cells whose center is within cell_size/2 of the pose and in
+        the same scene (reference cells.py:69-74, sample_close_cell option)."""
+        centers = 0.5 * (self.cell_bbox[:, 0:2] + self.cell_bbox[:, 3:5])
+        d = np.linalg.norm(centers - self.pose_w[pose_idx, :2], axis=1)
+        ok = (d <= self.cell_size / 2) & (
+            self.cell_scene_idx == self.pose_scene_idx[pose_idx]
+        )
+        return np.nonzero(ok)[0]
+
+    def gather_coarse(self, pose_indices: np.ndarray, object_size: int,
+                      sample_close_rng: Optional[np.random.Generator] = None,
+                      ) -> Dict[str, np.ndarray]:
+        """Per-pose coarse sample: positive cell objects + hint triples.
+
+        With `sample_close_rng`, the positive is a random cell within
+        cell_size/2 of the pose instead of the best cell (the reference's
+        sample_close_cell training augmentation, cells.py:65-74).
+        """
         pi = np.asarray(pose_indices)
         cells = self.pose_cell_idx[pi]
+        if sample_close_rng is not None:
+            cells = cells.copy()
+            for i, p in enumerate(pi):
+                cand = self.close_cells(int(p))
+                if len(cand):
+                    cells[i] = cand[sample_close_rng.integers(len(cand))]
         out = self.gather_cell_objects(cells, object_size)
         out.update(
             cell_index=cells.astype(np.int32),

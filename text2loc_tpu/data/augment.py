@@ -18,6 +18,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from text2loc_tpu import constants as C
 
@@ -25,13 +26,20 @@ from text2loc_tpu import constants as C
 def resample_points(xyz, rgb, key, num_points: int):
     """Random point resampling with replacement (FixedPoints semantics).
 
-    xyz/rgb: [..., P, 3] -> [..., num_points, 3].
+    xyz/rgb: [..., P, 3] -> [..., num_points, 3]. Implemented as a one-hot
+    selection matmul: TPU take_along_axis on a non-minor axis lowers to a
+    degenerate gather (see ops.ballquery.onehot_gather).
     """
+    from text2loc_tpu.ops.ballquery import onehot_gather
+
     p = xyz.shape[-2]
     lead = xyz.shape[:-2]
     idx = jax.random.randint(key, lead + (num_points,), 0, p)
-    take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-2)
-    return take(xyz), take(rgb)
+    n = int(np.prod(lead)) if lead else 1
+    both = jnp.concatenate([xyz, rgb], axis=-1).reshape(n, p, 6)
+    out = onehot_gather(both, idx.reshape(n, num_points))
+    out = out.reshape(lead + (num_points, 6))
+    return out[..., :3], out[..., 3:]
 
 
 def random_rotate_z(xyz, key, max_degrees: float = 120.0):

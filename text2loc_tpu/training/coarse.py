@@ -97,6 +97,7 @@ def train_coarse(
 
     timer = StageTimer()
     order_rng = np.random.default_rng(t.seed)
+    close_rng = np.random.default_rng(t.seed + 7) if t.sample_close_cell else None
     best_state = state
     best_val = -np.inf
     for epoch in range(start_epoch, t.epochs):
@@ -105,7 +106,9 @@ def train_coarse(
         with timer.stage("train_epoch"):
             for bstart in range(0, len(perm), t.batch_size):
                 idx = perm[bstart : bstart + t.batch_size]
-                batch = put(data_train.gather_coarse(idx, cfg.model.object_size))
+                batch = put(data_train.gather_coarse(
+                    idx, cfg.model.object_size, sample_close_rng=close_rng
+                ))
                 rng, srng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, srng)
                 losses.append(metrics["loss"])
