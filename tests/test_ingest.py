@@ -177,3 +177,18 @@ def test_sample_close_cell_option(tiny_dataset):
         ci = batch["cell_index"][i]
         d = np.linalg.norm(centers[ci] - data.pose_w[p, :2])
         assert d <= data.cell_size[ci] / 2 + 1e-6
+
+
+def test_fine_offset_target_variants(tiny_dataset):
+    """Legacy regressor_cell/learn targets (poses.py:55-72 semantics)."""
+    base, _, _ = tiny_dataset
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+
+    data = MultiSceneArrays(convert_base_path(str(base), [SCENE], store_points=16))
+    pi = np.arange(data.num_poses)
+    pc = data.fine_offset_targets(pi, "pose", "center")
+    np.testing.assert_array_equal(pc, data.offset_center[pi])
+    bc = data.fine_offset_targets(pi, "best", "closest")
+    m = data.hint_matched[pi]
+    np.testing.assert_array_equal(bc[m], data.best_offset_closest[pi][m])
+    np.testing.assert_array_equal(bc[~m], data.offset_closest[pi][~m])

@@ -298,6 +298,28 @@ class MultiSceneArrays:
             order[i] = full
         return order
 
+    def fine_offset_targets(self, pose_indices: np.ndarray,
+                            regressor_cell: str = "pose",
+                            regressor_learn: str = "center") -> np.ndarray:
+        """Legacy per-hint offset targets [B, S, 2] (reference
+        poses.py:55-72): pose-cell offsets, or best-cell offsets falling back
+        to pose-cell ones for unmatched hints. The published config uses the
+        absolute-pose target instead (gather_fine's `target`)."""
+        pi = np.asarray(pose_indices)
+        assert regressor_learn in ("center", "closest")
+        pose_arr = (
+            self.offset_center if regressor_learn == "center" else self.offset_closest
+        )[pi]
+        if regressor_cell == "pose":
+            return pose_arr.astype(np.float32)
+        assert regressor_cell == "best", regressor_cell
+        best_arr = (
+            self.best_offset_center if regressor_learn == "center"
+            else self.best_offset_closest
+        )[pi]
+        matched = self.hint_matched[pi][..., None]
+        return np.where(matched, best_arr, pose_arr).astype(np.float32)
+
     def gather_fine(self, pose_indices: np.ndarray, pad_size: int,
                     cell_indices: Optional[np.ndarray] = None,
                     hint_obj_idx: Optional[np.ndarray] = None,
@@ -305,7 +327,8 @@ class MultiSceneArrays:
         """Per-pose fine sample against its best cell (or a supplied cell).
 
         Target = absolute normalized pose in the candidate cell
-        (regressor_cell="all", poses.py:74-75).
+        (regressor_cell="all", poses.py:74-75, the published config). The
+        legacy per-hint offset targets live in `fine_offset_targets`.
 
         match_first=False keeps plain storage order truncated to pad_size —
         the ordering the reference uses at evaluation time against *retrieved*

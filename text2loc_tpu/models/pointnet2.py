@@ -135,7 +135,10 @@ class SetAbstraction(nn.Module):
             )
             return out, centers
 
-        nbr_idx, nbr_mask = ball_query_knn(pos, centers, self.radius, self.max_neighbors)
+        approx = bool(os.environ.get("TEXT2LOC_APPROX_NEIGHBORS"))
+        nbr_idx, nbr_mask = ball_query_knn(
+            pos, centers, self.radius, self.max_neighbors, approx=approx
+        )
         # One fused gather for features + coordinates: the one-hot selection
         # matmul is built once per level instead of twice.
         both = jnp.concatenate([x, pos.astype(x.dtype)], axis=-1)
