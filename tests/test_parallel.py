@@ -120,3 +120,33 @@ def test_eval_retrieval_with_mesh(small_cfg, small_embedder, small_data):
     )
     assert acc_d == acc_s and close_d == close_s
     np.testing.assert_array_equal(idx_d, idx_s)
+
+
+def test_dp_fine_step_matches_single_chip(small_cfg, small_embedder, small_data):
+    from text2loc_tpu.models.cross_matcher import CrossMatch
+    from text2loc_tpu.parallel.train import make_dp_fine_train_step
+    from text2loc_tpu.parallel.train import replicate_state as repl_state
+
+    n_dev = 4
+    cfg = small_cfg.replace(
+        train=dataclasses.replace(small_cfg.train, batch_size=n_dev * 2)
+    )
+    model = CrossMatch(cfg.model)
+    optimizer = steps_lib.make_optimizer(cfg, 1)
+    rng = jax.random.PRNGKey(2)
+    batch = small_data.gather_fine(
+        np.arange(cfg.train.batch_size) % small_data.num_poses, cfg.model.pad_size
+    )
+    fb = steps_lib.prepare_fine_batch(batch, small_embedder, cfg, rng, train=False)
+    state = steps_lib.init_train_state(model, optimizer, rng, fb.objects, fb.text)
+
+    single = jax.jit(
+        steps_lib.make_fine_train_step(model, small_embedder, cfg, optimizer)
+    )
+    _, m1 = single(state, batch, rng)
+
+    mesh = make_mesh(n_dev)
+    dp = make_dp_fine_train_step(model, small_embedder, cfg, optimizer, mesh)
+    _, m2 = dp(repl_state(state, mesh), shard_batch(batch, mesh), rng)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    assert abs(float(m1["pose_error"]) - float(m2["pose_error"])) < 1e-4
