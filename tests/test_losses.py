@@ -98,3 +98,29 @@ def test_recall_precision():
     recall, precision = losses.calc_recall_precision(gt, pred0, None)
     assert recall == 0.5
     assert precision == 0.5  # 1 of 2 predicted pairs correct ((2,0) yes, (3,9) no)
+
+
+def test_get_pos_in_cell_helpers():
+    """Legacy geometric estimators (reference cross_matcher.py:138-185)."""
+    from text2loc_tpu.models.cross_matcher import (
+        get_pos_in_cell,
+        get_pos_in_cell_intersect,
+    )
+
+    centers = np.array([[0.2, 0.2], [0.8, 0.2], [0.5, 0.9]])
+    matches0 = np.array([0, 1, -1])        # obj0->hint0, obj1->hint1
+    offsets = np.array([[0.1, 0.1], [-0.1, 0.1], [0.0, 0.0]])
+    pos = get_pos_in_cell(centers, matches0, offsets)
+    want = np.mean([[0.3, 0.3], [0.7, 0.3]], axis=0)
+    np.testing.assert_allclose(pos, want, atol=1e-9)
+
+    # Nothing matched -> cell center.
+    np.testing.assert_allclose(
+        get_pos_in_cell(centers, np.array([-1, -1, -1]), offsets), [0.5, 0.5]
+    )
+
+    # Ray intersection: two orthogonal rays meeting at (0.5, 0.5).
+    centers2 = np.array([[0.0, 0.5], [0.5, 0.0]])
+    dirs = np.array([[1.0, 0.0], [0.0, 1.0]])
+    got = get_pos_in_cell_intersect(centers2, np.array([0, 1]), dirs)
+    np.testing.assert_allclose(got, [0.5, 0.5], atol=1e-9)
