@@ -81,3 +81,14 @@ def test_fused_set_abstraction_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
     )
+
+
+def test_pallas_gather_bit_equal():
+    from text2loc_tpu.ops.pallas_gather import gather_rows_pallas
+
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(rng.random((6, 32, 12)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 32, (6, 20)), jnp.int32)
+    want = np.asarray(jnp.take_along_axis(vals, idx[:, :, None], axis=1))
+    got = np.asarray(gather_rows_pallas(vals, idx, interpret=True))
+    np.testing.assert_array_equal(got, want)

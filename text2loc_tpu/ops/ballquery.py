@@ -76,11 +76,31 @@ def onehot_gather(values: jax.Array, idx: jax.Array) -> jax.Array:
     Selection is exact (one unit entry per row), so results are bit-identical
     to take_along_axis.
 
+    On TPU backends the selection matrix never reaches HBM: the Pallas kernel
+    (ops.pallas_gather) builds it per cloud in VMEM (set
+    TEXT2LOC_DISABLE_PALLAS=1 to force the XLA formulation).
+
     values: [N, P, C]; idx: [N, ...] int32 -> [N, ..., C].
     """
     n, p, c = values.shape
     lead = idx.shape[1:]
     flat = idx.reshape(n, -1)
+    q = flat.shape[1]
+
+    # Opt-in only: the per-cloud VMEM kernel avoids the HBM one-hot but its
+    # tiny [Q,P]@[P,C] matmuls underutilize the MXU — measured 187 vs 221 q/s
+    # end-to-end at reference sizes. Wins would need multi-cloud tiling.
+    if (
+        os.environ.get("TEXT2LOC_VMEM_GATHER") == "1"
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
+    ):
+        from text2loc_tpu.ops.pallas_gather import fits_vmem, gather_rows_pallas
+
+        if fits_vmem(p, q, c, values.dtype.itemsize):
+            out = gather_rows_pallas(values, flat)
+            return out.reshape((n,) + lead + (c,))
+
     oh = jax.nn.one_hot(flat, p, dtype=values.dtype)          # [N, Q, P]
     out = jnp.einsum("nqp,npc->nqc", oh, values)
     return out.reshape((n,) + lead + (c,))
