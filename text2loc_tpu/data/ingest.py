@@ -228,9 +228,25 @@ def convert_base_path(
 
     need = [r for r in raw if isinstance(r, tuple)]
     if need and object_slots == 0:
-        object_slots = max(
-            28, max(len(c.objects) for _, cells, _, _ in need for c in cells)
-        )
+        biggest = max(len(c.objects) for _, cells, _, _ in need for c in cells)
+        # Auto-size to the real maximum, but cap: storage is [C, O, P, 6] and
+        # a single outlier cell would inflate every scene. Objects beyond the
+        # cap are dropped exactly like the reference's coarse truncation
+        # (cell_retrieval.py:97); matched fine objects beyond it fall back to
+        # unmatched. Pass --object_slots explicitly to override.
+        cap = 64
+        object_slots = max(28, min(biggest, cap))
+        if biggest > cap:
+            over = sum(
+                1 for _, cells, _, _ in need for c in cells
+                if len(c.objects) > cap
+            )
+            print(
+                f"warning: {over} cells exceed the {cap}-object slot cap "
+                f"(max {biggest}); overflow objects are dropped "
+                f"(set object_slots to keep them)",
+                flush=True,
+            )
 
     out = []
     for r in raw:
