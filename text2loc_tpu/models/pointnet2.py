@@ -36,17 +36,24 @@ from text2loc_tpu.ops.masked import masked_max
 from text2loc_tpu.ops.pallas_pointconv import fold_bn_affine, fused_set_abstraction
 
 
-def _fused_auto() -> bool:
-    """Opt-in (TEXT2LOC_FUSED_SA=1): measured on v5e at the reference scale
-    (2048 clouds x 256 pts), the one-hot-gather XLA path beats the fused
-    kernel (~50ms vs ~115ms — the kernel's per-cloud sequential K-nearest
-    rounds dominate at K=32, S<=128). The kernel wins when P grows and HBM
-    edge traffic dominates; revisit with multi-cloud tiling."""
-    return (
-        os.environ.get("TEXT2LOC_FUSED_SA") == "1"
-        and jax.default_backend() not in ("cpu", "gpu")
-        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
-    )
+def _fused_mode() -> str:
+    """"off" | "exact" | "all" (env TEXT2LOC_FUSED_SA = 1 / all).
+
+    "exact" replicates K-nearest-within-radius selection in-kernel (measured
+    slower than the one-hot XLA path at reference scale: the per-cloud
+    sequential K argmin rounds dominate). "all" aggregates over ALL in-radius
+    neighbors — a deterministic superset of the reference's arbitrary <=K
+    subset — with no sequential selection at all."""
+    if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
+        "TEXT2LOC_DISABLE_PALLAS"
+    ):
+        return "off"
+    v = os.environ.get("TEXT2LOC_FUSED_SA", "")
+    if v == "1":
+        return "exact"
+    if v == "all":
+        return "all"
+    return "off"
 
 
 class PointNetFeatures(NamedTuple):
@@ -78,7 +85,9 @@ class SetAbstraction(nn.Module):
     mlp_channels: tuple
     max_neighbors: int
     dtype: jnp.dtype = jnp.float32
-    fused: Optional[bool] = None      # None = auto (TPU backend, inference)
+    # None = env-controlled (TEXT2LOC_FUSED_SA); or "off"/"exact"/"all"
+    # (bool accepted: True == "exact"). See _fused_mode.
+    fused: Optional[object] = None
     fused_interpret: bool = False     # interpret-mode kernel (tests)
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
@@ -116,8 +125,10 @@ class SetAbstraction(nn.Module):
 
         centers, _, _ = fps_gather(pos, None, self.num_samples)
 
-        use_fused = self.fused if self.fused is not None else _fused_auto()
-        if not train and use_fused and not self.is_initializing():
+        mode = self.fused if self.fused is not None else _fused_mode()
+        if isinstance(mode, bool):  # convenience: True == "exact"
+            mode = "exact" if mode else "off"
+        if not train and mode != "off" and not self.is_initializing():
             ab = [
                 fold_bn_affine(
                     biases[l], scales[l], shifts[l],
@@ -132,6 +143,7 @@ class SetAbstraction(nn.Module):
                 kernels[1].astype(self.dtype), ab[1],
                 radius=self.radius, k=self.max_neighbors,
                 interpret=self.fused_interpret,
+                select_k=(mode == "exact"),
             )
             return out, centers
 
@@ -207,7 +219,7 @@ class PointNet2(nn.Module):
     num_classes: int
     num_colors: int
     dtype: jnp.dtype = jnp.float32
-    fused: Optional[bool] = None
+    fused: Optional[object] = None
     fused_interpret: bool = False
 
     @nn.compact

@@ -36,7 +36,7 @@ NEG = -1.0e30
 
 
 def _sa_kernel(x_ref, pos_ref, ctr_ref, wx_ref, wp_ref, ab1_ref, w2_ref,
-               ab2_ref, out_ref, *, radius: float, k: int):
+               ab2_ref, out_ref, *, radius: float, k: int, select_k: bool):
     x = x_ref[0]                                   # [P, C]  (compute dtype)
     pos = pos_ref[0].astype(jnp.float32)           # [P, 3]
     ctr = ctr_ref[0].astype(jnp.float32)           # [S, 3]
@@ -60,25 +60,31 @@ def _sa_kernel(x_ref, pos_ref, ctr_ref, wx_ref, wp_ref, ab1_ref, w2_ref,
     )
     d2 = jnp.maximum(d2, 0.0)
 
-    # K-nearest-within-radius selection mask via K masked-argmin rounds
-    # (same set and tie-breaking as lax.top_k over -d2).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (s, p), 1)
-    d2m = jnp.where(d2 <= radius * radius, d2, INF)
+    if not select_k:
+        # All-in-radius aggregation: a deterministic superset of the
+        # reference's ARBITRARY <=K in-radius subset (torch-cluster insertion
+        # order) — no sequential selection at all.
+        sel32 = jnp.where(d2 <= radius * radius, 1.0, 0.0)
+    else:
+        # K-nearest-within-radius selection mask via K masked-argmin rounds
+        # (same set and tie-breaking as lax.top_k over -d2).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (s, p), 1)
+        d2m = jnp.where(d2 <= radius * radius, d2, INF)
 
-    # Selection mask carried as f32 throughout: Mosaic neither loops over
-    # bool carries nor inserts minor dims on sub-32-bit types.
-    def sel_round(_, carry):
-        d2m, sel32 = carry
-        jmin = jnp.argmin(d2m, axis=1)             # [S]
-        rowvalid = (jnp.min(d2m, axis=1, keepdims=True) < INF)  # [S, 1]
-        hit = (lane == jmin[:, None]) & rowvalid
-        return jnp.where(hit, INF, d2m), jnp.maximum(
-            sel32, jnp.where(hit, 1.0, 0.0)
+        # Selection mask carried as f32 throughout: Mosaic neither loops over
+        # bool carries nor inserts minor dims on sub-32-bit types.
+        def sel_round(_, carry):
+            d2m, sel32 = carry
+            jmin = jnp.argmin(d2m, axis=1)             # [S]
+            rowvalid = (jnp.min(d2m, axis=1, keepdims=True) < INF)  # [S, 1]
+            hit = (lane == jmin[:, None]) & rowvalid
+            return jnp.where(hit, INF, d2m), jnp.maximum(
+                sel32, jnp.where(hit, 1.0, 0.0)
+            )
+
+        _, sel32 = jax.lax.fori_loop(
+            0, k, sel_round, (d2m, jnp.zeros((s, p), jnp.float32))
         )
-
-    _, sel32 = jax.lax.fori_loop(
-        0, k, sel_round, (d2m, jnp.zeros((s, p), jnp.float32))
-    )
 
     a1 = ab1_ref[0]                                # [H1] folded scale
     b1 = ab1_ref[1]                                # [H1] folded shift
@@ -105,7 +111,7 @@ def _sa_kernel(x_ref, pos_ref, ctr_ref, wx_ref, wp_ref, ab1_ref, w2_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "k", "interpret"),
+    static_argnames=("radius", "k", "interpret", "select_k"),
 )
 def fused_set_abstraction(
     x: jax.Array,            # [N, P, C] compute dtype (bf16/f32)
@@ -119,6 +125,7 @@ def fused_set_abstraction(
     radius: float,
     k: int,
     interpret: bool = False,
+    select_k: bool = True,
 ) -> jax.Array:
     """Returns [N, S, H2] pooled features. Inference only (BN pre-folded)."""
     n, p, c = x.shape
@@ -132,7 +139,7 @@ def fused_set_abstraction(
     def im_w(i):
         return (0, 0)
 
-    kernel = functools.partial(_sa_kernel, radius=radius, k=k)
+    kernel = functools.partial(_sa_kernel, radius=radius, k=k, select_k=select_k)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, s, h2), x.dtype),
