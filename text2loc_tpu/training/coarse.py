@@ -46,8 +46,13 @@ def train_coarse(
     mesh=None,
     eval_every: int = 1,
     resume: bool = False,
+    data_test: Optional[MultiSceneArrays] = None,
 ) -> Tuple[steps_lib.TrainState, CellRetrievalNetwork, MetricLogger]:
-    """Train the retrieval towers; returns (best-or-final state, model, log)."""
+    """Train the retrieval towers; returns (best-or-final state, model, log).
+
+    `data_test`, when given, is evaluated once with the final best state (the
+    reference evaluates test every epoch, coarse.py:283-287; a single final
+    eval avoids leaking test signal into any decision)."""
     t = cfg.train
     model = CellRetrievalNetwork(cfg.model)
     n_train = data_train.num_poses
@@ -138,6 +143,17 @@ def train_coarse(
     print(timer.report(), flush=True)
     if not np.isfinite(best_val):
         best_state = jax.device_get(state)  # no val eval ran: return final
+    if data_test is not None:
+        acc, acc_close, _ = eval_retrieval(
+            data_test, best_state, model, embedder, cfg
+        )
+        print(
+            "test recall: "
+            + "  ".join(f"R@{k}={v:0.4f}" for k, v in acc.items())
+            + "  close: "
+            + "  ".join(f"@{k}={v:0.4f}" for k, v in acc_close.items()),
+            flush=True,
+        )
     if workdir is not None:
         logger.plot(f"{workdir}/coarse_metrics.png")
         if ckpt is not None:
@@ -185,13 +201,14 @@ def _load_data(cfg: Config, args):
                 num_mentioned=cfg.model.num_mentioned, seed=seed,
             )
         ])
-        return cfg, mk(0), mk(1)
+        return cfg, mk(0), mk(1), mk(2)
     assert args.base_path, "--base_path or --synthetic required"
     from text2loc_tpu.data.ingest import load_dataset
 
     data_train = load_dataset(args.base_path, "train", out_dir=args.array_cache)
     data_val = load_dataset(args.base_path, "val", out_dir=args.array_cache)
-    return cfg, data_train, data_val
+    data_test = load_dataset(args.base_path, "test", out_dir=args.array_cache)
+    return cfg, data_train, data_val, data_test
 
 
 def main(argv=None):
@@ -202,7 +219,7 @@ def main(argv=None):
         from text2loc_tpu.utils.debug import enable_nan_debugging
 
         enable_nan_debugging()
-    cfg, data_train, data_val = _load_data(cfg, args)
+    cfg, data_train, data_val, data_test = _load_data(cfg, args)
     embedder = HintTextEmbedder.compositional(
         embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
     )
@@ -214,6 +231,7 @@ def main(argv=None):
     train_coarse(
         cfg, data_train, data_val, embedder,
         workdir=args.workdir, mesh=mesh, resume=args.resume,
+        data_test=data_test,
     )
 
 

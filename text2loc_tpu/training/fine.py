@@ -82,6 +82,7 @@ def train_fine(
     mesh=None,
     eval_every: int = 1,
     resume: bool = False,
+    data_test: Optional[MultiSceneArrays] = None,
 ) -> Tuple[steps_lib.TrainState, CrossMatch, MetricLogger]:
     t = cfg.train
     model = CrossMatch(cfg.model)
@@ -168,6 +169,9 @@ def train_fine(
     print(timer.report(), flush=True)
     if not np.isfinite(best_val):
         best_state = jax.device_get(state)
+    if data_test is not None:
+        test_err = eval_fine(data_test, best_state, model, embedder, cfg)
+        print(f"test pose_error: {test_err:0.4f}", flush=True)
     if workdir is not None:
         logger.plot(f"{workdir}/fine_metrics.png")
         if ckpt is not None:
@@ -195,7 +199,7 @@ def main(argv=None):
         from text2loc_tpu.utils.debug import enable_nan_debugging
 
         enable_nan_debugging()
-    cfg, data_train, data_val = _load_data(cfg, args)
+    cfg, data_train, data_val, data_test = _load_data(cfg, args)
     embedder = HintTextEmbedder.compositional(
         embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
     )
@@ -207,6 +211,7 @@ def main(argv=None):
     train_fine(
         cfg, data_train, data_val, embedder,
         workdir=args.workdir, mesh=mesh, resume=args.resume,
+        data_test=data_test,
     )
 
 
