@@ -41,3 +41,20 @@ def test_render_pose_in_cell(small_data):
     # Crosses drawn (white gt + magenta pred present).
     assert (img == (255, 255, 255)).all(axis=-1).any()
     assert (img == (255, 0, 255)).all(axis=-1).any()
+
+
+def test_pipeline_cli_restores_checkpoints(small_cfg, small_embedder, small_data, tmp_path):
+    """--coarse_ckpt restore path: train -> Orbax dir -> eval CLI."""
+    import dataclasses
+
+    from text2loc_tpu.evaluation.cli import main_coarse
+    from text2loc_tpu.training.coarse import train_coarse
+
+    cfg = small_cfg.replace(
+        train=dataclasses.replace(small_cfg.train, epochs=1, batch_size=8)
+    )
+    train_coarse(cfg, small_data, small_data, small_embedder, workdir=str(tmp_path))
+    accs, retrievals = main_coarse(
+        ["--synthetic", "--coarse_ckpt", str(tmp_path / "coarse_ckpt")]
+    )
+    assert retrievals.ndim == 2

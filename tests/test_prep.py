@@ -200,3 +200,30 @@ def test_image_extraction(tmp_path):
     assert len(list((out / "real" / "db").iterdir())) == n_db
     assert len(list((out / "real" / "query").iterdir())) == n_q
     assert (out / "poses_db.pkl").exists()
+
+
+def test_select_strategies_round_robin():
+    """Selection strategies (reference select.py:43-95): closest ordering and
+    round-robin over class buckets in first-seen order."""
+    from text2loc_tpu.data.structs import Object3d
+    from text2loc_tpu.prep.describe import select_objects
+
+    def obj(oid, label, xyz):
+        return Object3d(oid, oid, np.asarray(xyz, float).reshape(1, 3),
+                        np.zeros((1, 3)), label)
+
+    pose = np.array([0.0, 0.0, 0.0])
+    objs = [
+        obj(0, "building", [0.5, 0, 0]),
+        obj(1, "pole", [0.1, 0, 0]),
+        obj(2, "building", [0.3, 0, 0]),
+        obj(3, "pole", [0.2, 0, 0]),
+    ]
+    closest = select_objects(objs, pose, 3, "closest")
+    assert [o.id for o in closest] == [1, 3, 2]
+    # class round-robin: first-seen bucket order building, pole; offsets walk.
+    by_class = select_objects(objs, pose, 4, "class")
+    assert [o.id for o in by_class] == [0, 1, 2, 3]
+    rng = np.random.default_rng(0)
+    rnd = select_objects(objs, pose, 4, "random", rng=rng)
+    assert sorted(o.id for o in rnd) == [0, 1, 2, 3]
