@@ -32,6 +32,14 @@ def test_render_cell_topdown(small_data):
     assert img.any()  # something was drawn
 
 
+def test_render_cell_3d(small_data, tmp_path):
+    from text2loc_tpu.evaluation.visualize import render_cell_3d
+
+    out = str(tmp_path / "cell3d.png")
+    render_cell_3d(small_data, 0, out_path=out)
+    assert os.path.getsize(out) > 0
+
+
 def test_render_pose_in_cell(small_data):
     from text2loc_tpu.evaluation.visualize import render_pose_in_cell
 
@@ -41,6 +49,63 @@ def test_render_pose_in_cell(small_data):
     # Crosses drawn (white gt + magenta pred present).
     assert (img == (255, 255, 255)).all(axis=-1).any()
     assert (img == (255, 0, 255)).all(axis=-1).any()
+
+
+def test_coarse_cli_loads_torch_checkpoint(tmp_path):
+    """--coarse_torch_ckpt: a published-layout .pth (PointNet path, the
+    default config) converts and drives retrieval end to end."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from test_full_model_convert import ref_get_mlp, ref_get_mlp2
+    from test_pointnet_convert import make_pointnet_state_dict
+
+    from text2loc_tpu.config import small_test_config
+    from text2loc_tpu.evaluation.cli import main_coarse
+
+    cfg = small_test_config().model
+    torch.manual_seed(7)
+    sd = {}
+    # object_encoder: PointNet + the four feature MLPs + merge.
+    for k, v in make_pointnet_state_dict(cfg.pointnet, nested=True).items():
+        sd[f"object_encoder.pointnet.{k}"] = v
+    d = cfg.coarse_embed_dim
+    pn_dim = cfg.pointnet.head_dims[1]
+    for name, net in {
+        "object_encoder.mlp_pointnet": ref_get_mlp([pn_dim, d]),
+        "object_encoder.color_encoder": ref_get_mlp([3, 64, d]),
+        "object_encoder.pos_encoder": ref_get_mlp([3, 64, d]),
+        "object_encoder.num_encoder": ref_get_mlp([1, 64, d]),
+        "object_encoder.mlp_merge": ref_get_mlp([4 * d, d]),
+        "language_encoder.inter_mlp": ref_get_mlp2([cfg.text_embed_dim, d]),
+    }.items():
+        for k, v in net.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    for i in range(cfg.object_inter_num_layers):
+        layer = torch.nn.TransformerEncoderLayer(d, cfg.object_inter_num_heads,
+                                                 dim_feedforward=2 * d)
+        for k, v in layer.state_dict().items():
+            sd[f"obj_inter_module.{i}.{k}"] = v
+    for i in range(cfg.intra_num_layers):
+        layer = torch.nn.TransformerEncoderLayer(
+            cfg.text_embed_dim, cfg.intra_num_heads,
+            dim_feedforward=4 * cfg.text_embed_dim,
+        )
+        for k, v in layer.state_dict().items():
+            sd[f"language_encoder.intra_module.{i}.{k}"] = v
+    for i in range(cfg.inter_num_layers):
+        layer = torch.nn.TransformerEncoderLayer(d, cfg.inter_num_heads,
+                                                 dim_feedforward=4 * d)
+        for k, v in layer.state_dict().items():
+            sd[f"language_encoder.inter_module.{i}.{k}"] = v
+
+    path = str(tmp_path / "coarse.pth")
+    torch.save(sd, path)
+    accs, retrievals = main_coarse(["--synthetic", "--coarse_torch_ckpt", path])
+    assert retrievals.ndim == 2
+    for row in accs.values():
+        for v in row.values():
+            assert 0.0 <= v <= 1.0
 
 
 def test_pipeline_cli_restores_checkpoints(small_cfg, small_embedder, small_data, tmp_path):

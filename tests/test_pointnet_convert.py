@@ -3,8 +3,13 @@
 torch_geometric isn't available (and isn't wanted), so this builds a torch
 state dict with the reference PointNet2's exact key layout
 (/root/reference/models/pointcloud/pointnet2.py:52-78: sa{i}.point_conv.
-local_nn get_mlp stacks, ga.nn, lin1/lin2, classifiers) and checks that the
+local_nn get_mlp stacks, ga.mlp, lin1/lin2, classifiers) and checks that the
 converted trees load into our PointNet2 and run.
+
+The reference's get_mlp builds a Sequential of per-layer
+Sequential(Linear, BN, ReLU) (language_encoder.py:16-41), so the published
+checkpoint's keys are NESTED (`...local_nn.0.0.weight`). Both that layout and
+a flat Sequential are covered.
 """
 
 import numpy as np
@@ -21,21 +26,23 @@ from text2loc_tpu.models import torch_convert as tc  # noqa: E402
 from text2loc_tpu.models.pointnet2 import PointNet2  # noqa: E402
 
 
-def _mlp_state(prefix, channels, sd):
+def _mlp_state(prefix, channels, sd, nested):
     for i in range(len(channels) - 1):
         lin = torch.nn.Linear(channels[i], channels[i + 1])
         bn = torch.nn.BatchNorm1d(channels[i + 1])
         with torch.no_grad():
             bn.running_mean.uniform_(-0.1, 0.1)
             bn.running_var.uniform_(0.9, 1.1)
+        lin_key = f"{prefix}.{i}.0" if nested else f"{prefix}.{3 * i}"
+        bn_key = f"{prefix}.{i}.1" if nested else f"{prefix}.{3 * i + 1}"
         for k, v in lin.state_dict().items():
-            sd[f"{prefix}.{3 * i}.{k}"] = v
+            sd[f"{lin_key}.{k}"] = v
         for k, v in bn.state_dict().items():
-            sd[f"{prefix}.{3 * i + 1}.{k}"] = v
+            sd[f"{bn_key}.{k}"] = v
 
 
-def test_pointnet_checkpoint_round_trip():
-    cfg = PointNetConfig(
+def _pointnet_cfg():
+    return PointNetConfig(
         num_points=16,
         sa_num_points=(8, 4, 2),
         sa_mlps=((6, 8, 16), (19, 16, 32), (35, 32, 32)),
@@ -43,11 +50,16 @@ def test_pointnet_checkpoint_round_trip():
         global_mlp=(35, 32, 64),
         head_dims=(48, 32),
     )
-    torch.manual_seed(0)
+
+
+def make_pointnet_state_dict(cfg, nested=True, ga_attr="mlp", seed=0):
+    """A state dict mirroring the published pointnet_acc0.86 checkpoint's
+    key layout (reference pointnet2.py attribute names)."""
+    torch.manual_seed(seed)
     sd = {}
     for i, ch in enumerate(cfg.sa_mlps, start=1):
-        _mlp_state(f"sa{i}.point_conv.local_nn", ch, sd)
-    _mlp_state("ga.nn", cfg.global_mlp, sd)
+        _mlp_state(f"sa{i}.point_conv.local_nn", ch, sd, nested)
+    _mlp_state(f"ga.{ga_attr}", cfg.global_mlp, sd, nested)
     for name, (i, o) in {
         "lin1": (cfg.global_mlp[-1], cfg.head_dims[0]),
         "lin2": (cfg.head_dims[0], cfg.head_dims[1]),
@@ -56,6 +68,17 @@ def test_pointnet_checkpoint_round_trip():
     }.items():
         for k, v in torch.nn.Linear(i, o).state_dict().items():
             sd[f"{name}.{k}"] = v
+    return sd
+
+
+@pytest.mark.parametrize(
+    "nested,ga_attr",
+    [(True, "mlp"), (False, "nn")],
+    ids=["nested-reference-layout", "flat-legacy-layout"],
+)
+def test_pointnet_checkpoint_round_trip(nested, ga_attr):
+    cfg = _pointnet_cfg()
+    sd = make_pointnet_state_dict(cfg, nested=nested, ga_attr=ga_attr)
 
     params, stats = tc.convert_pointnet_checkpoint(tc.to_numpy(sd))
 
@@ -74,3 +97,23 @@ def test_pointnet_checkpoint_round_trip():
     )
     assert out.features2.shape == (4, cfg.head_dims[1])
     assert np.isfinite(np.asarray(out.features2)).all()
+
+
+def test_nested_and_flat_layouts_convert_identically():
+    """Same weights in both layouts must produce identical trees."""
+    cfg = _pointnet_cfg()
+    nested = make_pointnet_state_dict(cfg, nested=True, ga_attr="mlp", seed=3)
+    flat = {}
+    for k, v in nested.items():
+        if k.startswith(("sa", "ga")):
+            # nested `...{i}.{0|1}.param` -> flat `...{3i+j}.param`
+            parts = k.split(".")
+            i, j = int(parts[-3]), int(parts[-2])
+            flat[".".join(parts[:-3] + [str(3 * i + j), parts[-1]])] = v
+        else:
+            flat[k] = v  # linear heads have no layout difference
+
+    p1, s1 = tc.convert_pointnet_checkpoint(tc.to_numpy(nested))
+    p2, s2 = tc.convert_pointnet_checkpoint(tc.to_numpy(flat))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, s1, s2)

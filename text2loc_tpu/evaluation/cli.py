@@ -18,7 +18,7 @@ import numpy as np
 from text2loc_tpu.config import Config
 from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
 from text2loc_tpu.models.cross_matcher import CrossMatch
-from text2loc_tpu.models.text_embedding import HintTextEmbedder
+from text2loc_tpu.models.text_embedding import make_embedder
 from text2loc_tpu.training import steps as steps_lib
 
 
@@ -49,16 +49,34 @@ def _restore(ckpt_dir, state):
     return restored
 
 
+def _restore_torch(path, state, cfg, kind):
+    """Load a published torch .pth (reference pipeline.py:245-267 semantics:
+    strict=False — anything absent keeps its initialized value)."""
+    from text2loc_tpu.models.torch_convert import load_torch_tower
+
+    params, stats = load_torch_tower(
+        path, cfg.model, kind, params=state.params, batch_stats=state.batch_stats
+    )
+    return state._replace(params=params, batch_stats=stats)
+
+
 def build_argparser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--base_path", default=None)
     ap.add_argument("--array_cache", default=None)
     ap.add_argument("--coarse_ckpt", default=None)
     ap.add_argument("--fine_ckpt", default=None)
+    ap.add_argument("--coarse_torch_ckpt", default=None,
+                    help="published reference coarse .pth (converted on load)")
+    ap.add_argument("--fine_torch_ckpt", default=None,
+                    help="published reference fine .pth (converted on load)")
     ap.add_argument("--use_test_set", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--plot_retrievals", default=None,
                     help="write a qualitative retrieval grid PNG here")
+    ap.add_argument("--text_table", default=None,
+                    help="frozen T5 table .npz (scripts/build_t5_table.py); "
+                         "default: compositional stand-in")
     return ap
 
 
@@ -90,9 +108,7 @@ def main_pipeline(argv=None):
 
     args = build_argparser().parse_args(argv)
     cfg, data = _load(args)
-    embedder = HintTextEmbedder.compositional(
-        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
-    )
+    cfg, embedder = make_embedder(cfg, args.text_table)
     coarse_model = CellRetrievalNetwork(cfg.model)
     fine_model = CrossMatch(cfg.model)
     coarse_state = _init_coarse_state(cfg, coarse_model, embedder, data)
@@ -101,6 +117,10 @@ def main_pipeline(argv=None):
         coarse_state = _restore(args.coarse_ckpt, coarse_state)
     if args.fine_ckpt:
         fine_state = _restore(args.fine_ckpt, fine_state)
+    if args.coarse_torch_ckpt:
+        coarse_state = _restore_torch(args.coarse_torch_ckpt, coarse_state, cfg, "coarse")
+    if args.fine_torch_ckpt:
+        fine_state = _restore_torch(args.fine_torch_ckpt, fine_state, cfg, "fine")
     result = run_pipeline(
         data, coarse_state, coarse_model, fine_state, fine_model, embedder, cfg
     )
@@ -119,13 +139,13 @@ def main_coarse(argv=None):
 
     args = build_argparser().parse_args(argv)
     cfg, data = _load(args)
-    embedder = HintTextEmbedder.compositional(
-        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
-    )
+    cfg, embedder = make_embedder(cfg, args.text_table)
     model = CellRetrievalNetwork(cfg.model)
     state = _init_coarse_state(cfg, model, embedder, data)
     if args.coarse_ckpt:
         state = _restore(args.coarse_ckpt, state)
+    if args.coarse_torch_ckpt:
+        state = _restore_torch(args.coarse_torch_ckpt, state, cfg, "coarse")
     accs, retrievals = run_coarse(data, state, model, embedder, cfg)
     print_accuracies(accs, "Coarse")
     return accs, retrievals

@@ -65,7 +65,7 @@ class LanguageEncoder(nn.Module):
         else:
             x = jnp.max(x, axis=1)
 
-        x = get_mlp2([e, self.embed_dim], dtype=self.dtype)(
+        x = get_mlp2([e, self.embed_dim], dtype=self.dtype, name="inter_mlp")(
             x, mask=sent_mask if self.mask_padded else None, train=train
         )
         x = x.reshape(b, s, self.embed_dim)

@@ -120,16 +120,19 @@ class MLP(nn.Module):
         return x
 
 
-def get_mlp(channels, dtype=jnp.float32) -> MLP:
+def get_mlp(channels, dtype=jnp.float32, name=None) -> MLP:
     """Trailing BN+ReLU on every layer (reference language_encoder.py:16)."""
-    return MLP(channels=tuple(channels), tail="relu", dtype=dtype)
+    return MLP(channels=tuple(channels), tail="relu", dtype=dtype, name=name)
 
 
-def get_mlp2(channels, dtype=jnp.float32) -> MLP:
+def get_mlp2(channels, dtype=jnp.float32, name=None) -> MLP:
     """No ReLU after the final layer (reference language_encoder.py:43)."""
-    return MLP(channels=tuple(channels), tail="bn", dtype=dtype)
+    return MLP(channels=tuple(channels), tail="bn", dtype=dtype, name=name)
 
 
-def get_mlp_offset(channels, dtype=jnp.float32) -> MLP:
+def get_mlp_offset(channels, dtype=jnp.float32, name=None) -> MLP:
     """Plain regressor MLP (reference cross_matcher.py:17)."""
-    return MLP(channels=tuple(channels), tail="none", add_batchnorm=False, dtype=dtype)
+    return MLP(
+        channels=tuple(channels), tail="none", add_batchnorm=False, dtype=dtype,
+        name=name,
+    )

@@ -65,9 +65,10 @@ class ObjectEncoder(nn.Module):
             pn_feat = pn.features_at_level(feats)      # [B*O, 256]
             if cfg.pointnet.freeze:
                 pn_feat = jax.lax.stop_gradient(pn_feat)
-            pn_emb = get_mlp([pn_feat.shape[-1], self.embed_dim], dtype=self.dtype)(
-                pn_feat, mask=flat_mask, train=train
-            )
+            pn_emb = get_mlp(
+                [pn_feat.shape[-1], self.embed_dim], dtype=self.dtype,
+                name="mlp_pointnet",
+            )(pn_feat, mask=flat_mask, train=train)
             embeddings.append(l2_normalize(pn_emb))
         elif "class" in use:
             # Fixed ground-truth class embedding, padding_idx=0 semantics:
@@ -88,29 +89,30 @@ class ObjectEncoder(nn.Module):
                 emb = jnp.where((idx > 0)[:, None], emb, 0.0)
             else:
                 colors = objects.color.reshape(b * o, 3).astype(self.dtype)
-                emb = get_mlp([3, 64, self.embed_dim], dtype=self.dtype)(
-                    colors, mask=flat_mask, train=train
-                )
+                emb = get_mlp(
+                    [3, 64, self.embed_dim], dtype=self.dtype, name="color_encoder"
+                )(colors, mask=flat_mask, train=train)
             embeddings.append(l2_normalize(emb))
 
         if "position" in use:
             centers = objects.center.reshape(b * o, 3).astype(self.dtype)
-            emb = get_mlp([3, 64, self.embed_dim], dtype=self.dtype)(
-                centers, mask=flat_mask, train=train
-            )
+            emb = get_mlp(
+                [3, 64, self.embed_dim], dtype=self.dtype, name="pos_encoder"
+            )(centers, mask=flat_mask, train=train)
             embeddings.append(l2_normalize(emb))
 
         if "num" in use:
             num = objects.num_points.reshape(b * o, 1).astype(self.dtype)
             num = (num - C.NUM_POINTS_MEAN) / C.NUM_POINTS_STD
-            emb = get_mlp([1, 64, self.embed_dim], dtype=self.dtype)(
-                num, mask=flat_mask, train=train
-            )
+            emb = get_mlp(
+                [1, 64, self.embed_dim], dtype=self.dtype, name="num_encoder"
+            )(num, mask=flat_mask, train=train)
             embeddings.append(l2_normalize(emb))
 
         if len(embeddings) > 1:
             merged = get_mlp(
-                [len(embeddings) * self.embed_dim, self.embed_dim], dtype=self.dtype
+                [len(embeddings) * self.embed_dim, self.embed_dim],
+                dtype=self.dtype, name="mlp_merge",
             )(jnp.concatenate(embeddings, axis=-1), mask=flat_mask, train=train)
         else:
             merged = embeddings[0]

@@ -101,22 +101,59 @@ def convert_decoder_layer(sd: Mapping[str, np.ndarray], prefix: str,
     }
 
 
-def convert_mlp(sd: Mapping[str, np.ndarray], prefix: str, num_layers: int,
-                batchnorm: bool = True):
-    """Reference get_mlp/get_mlp2-style torch Sequential -> our MLP module.
+def _mlp_layer_prefixes(sd: Mapping[str, np.ndarray], prefix: str,
+                        batchnorm: bool = True):
+    """Discover (linear_prefix, bn_prefix|None) per layer of a reference MLP.
 
-    The reference builds Sequential([Linear, BN, ReLU] * L) (get_mlp,
-    language_encoder.py:16-41) so Linear sits at index 3k and BN at 3k+1;
-    without batchnorm ([Linear, ReLU] * L) Linear sits at 2k.
+    The reference's get_mlp/get_mlp2 build a Sequential of per-layer
+    Sequential(Linear, BN[, ReLU]) (language_encoder.py:16-74), so the real
+    published checkpoints carry NESTED keys `{p}{i}.0.weight` / `{p}{i}.1.*`.
+    get_mlp_offset (cross_matcher.py:17-36) and some external assets use a
+    FLAT Sequential (`{p}{3i}.weight` with BN, `{p}{2i}.weight` without).
+    Both layouts are detected here.
     """
     p = f"{prefix}." if prefix else ""
+    layers = []
+    if f"{p}0.0.weight" in sd:                       # nested (reference get_mlp)
+        i = 0
+        while f"{p}{i}.0.weight" in sd:
+            bn = f"{p}{i}.1" if f"{p}{i}.1.running_mean" in sd else None
+            layers.append((f"{p}{i}.0", bn))
+            i += 1
+    else:                                            # flat Sequential
+        stride = 3 if batchnorm else 2
+        i = 0
+        while f"{p}{stride * i}.weight" in sd:
+            bn = (
+                f"{p}{stride * i + 1}"
+                if f"{p}{stride * i + 1}.running_mean" in sd
+                else None
+            )
+            layers.append((f"{p}{stride * i}", bn))
+            i += 1
+    if not layers:
+        raise KeyError(f"no MLP weights under {prefix!r}")
+    return layers
+
+
+def convert_mlp(sd: Mapping[str, np.ndarray], prefix: str,
+                num_layers: int | None = None, batchnorm: bool = True):
+    """Reference get_mlp/get_mlp2/get_mlp_offset torch Sequential -> our MLP.
+
+    Handles both the nested layout the reference's get_mlp actually produces
+    and the flat layout (see _mlp_layer_prefixes). Returns (params, stats).
+    """
+    layers = _mlp_layer_prefixes(sd, prefix, batchnorm=batchnorm)
+    if num_layers is not None and len(layers) != num_layers:
+        raise KeyError(
+            f"expected {num_layers} layers under {prefix!r}, found {len(layers)}"
+        )
     params: Dict = {}
     stats: Dict = {}
-    stride = 3 if batchnorm else 2
-    for i in range(num_layers):
-        params[f"dense_{i}"] = convert_linear(sd, f"{p}{stride * i}")
-        if batchnorm:
-            bn_p, bn_s = convert_batchnorm(sd, f"{p}{stride * i + 1}")
+    for i, (lin, bn) in enumerate(layers):
+        params[f"dense_{i}"] = convert_linear(sd, lin)
+        if bn is not None:
+            bn_p, bn_s = convert_batchnorm(sd, bn)
             params[f"bn_{i}"] = bn_p
             stats[f"bn_{i}"] = bn_s
     return params, stats
@@ -139,19 +176,15 @@ def convert_pointnet_checkpoint(sd: Mapping[str, np.ndarray], num_sa: int = 3):
     Returns (params, batch_stats) trees matching text2loc_tpu PointNet2.
     """
 
-    def mlp_at(prefix: str):
-        n = 0
-        while f"{prefix}.{3 * n}.weight" in sd:
-            n += 1
-        assert n > 0, f"no MLP weights under {prefix}"
-        return convert_mlp(sd, prefix, n, batchnorm=True)
+    def has_mlp(prefix: str) -> bool:
+        return f"{prefix}.0.weight" in sd or f"{prefix}.0.0.weight" in sd
 
     params: Dict = {}
     stats: Dict = {}
     for i in range(1, num_sa + 1):
         for cand in (f"sa{i}.point_conv.local_nn", f"sa{i}.point_conv.nn"):
-            if f"{cand}.0.weight" in sd:
-                p, s = mlp_at(cand)
+            if has_mlp(cand):
+                p, s = convert_mlp(sd, cand, batchnorm=True)
                 break
         else:
             raise KeyError(f"sa{i} local_nn not found")
@@ -168,9 +201,11 @@ def convert_pointnet_checkpoint(sd: Mapping[str, np.ndarray], num_sa: int = 3):
         params[f"sa{i}"] = flat_p
         stats[f"sa{i}"] = flat_s
 
-    for cand in ("ga.nn", "ga.mlp", "ga.local_nn"):
-        if f"{cand}.0.weight" in sd:
-            p, s = mlp_at(cand)
+    # Reference GlobalAbstractionLayer stores its MLP as `self.mlp`
+    # (pointnet2.py:40-43); older assets used `nn`.
+    for cand in ("ga.mlp", "ga.nn", "ga.local_nn"):
+        if has_mlp(cand):
+            p, s = convert_mlp(sd, cand, batchnorm=True)
             break
     else:
         raise KeyError("global abstraction MLP not found")
@@ -184,6 +219,232 @@ def convert_pointnet_checkpoint(sd: Mapping[str, np.ndarray], num_sa: int = 3):
     ):
         params[ours] = convert_linear(sd, theirs)
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Full-model checkpoints (published coarse.pth / fine.pth)
+# ---------------------------------------------------------------------------
+#
+# The reference's eval story starts from torch.load(coarse.pth / fine.pth) +
+# load_state_dict(strict=False) (/root/reference/evaluation/pipeline.py:245-267)
+# where the checkpoints were saved with every `llm_model` (frozen T5) key
+# stripped (training/coarse.py:327-332). The converters below map those whole
+# state_dicts onto CellRetrievalNetwork / CrossMatch param trees; frozen-text
+# and any other absent pieces keep their initialized values (the strict=False
+# equivalent).
+
+
+def _subdict(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    p = f"{prefix}."
+    return {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+
+
+def convert_object_encoder(sd: Mapping[str, np.ndarray], prefix: str, cfg):
+    """Reference ObjectEncoder state_dict -> our ObjectEncoder (params, stats).
+
+    Module map (reference models/object_encoder.py:26-64 -> ours):
+      pointnet.*        -> pointnet        (when the PointNet path is active)
+      mlp_pointnet      -> mlp_pointnet
+      class_embedding   -> class_embedding (class_embed path; direct row copy —
+                           both sides use row 0 for <unk>/pad and row i+1 for
+                           class i in KNOWN_CLASS order)
+      color_embedding   -> color_embedding (color_embed path; the reference
+                           indexes colors 0..7 with padding_idx=0 OVERLAPPING
+                           color 0 (:35-37) — our row j+1 <- their row j,
+                           row 0 stays zero)
+      color_encoder / pos_encoder / num_encoder / mlp_merge -> same names
+    """
+    p = f"{prefix}." if prefix else ""
+    params: Dict = {}
+    stats: Dict = {}
+    use = cfg.use_features
+
+    def mlp(name):
+        mp, ms = convert_mlp(sd, f"{p}{name}")
+        params[name] = mp
+        if ms:
+            stats[name] = ms
+
+    if "class" in use and not cfg.class_embed:
+        pn_sd = _subdict(sd, f"{p}pointnet")
+        if pn_sd:
+            pn_p, pn_s = convert_pointnet_checkpoint(pn_sd)
+            params["pointnet"] = pn_p
+            stats["pointnet"] = pn_s
+        mlp("mlp_pointnet")
+    elif "class" in use:
+        params["class_embedding"] = {"embedding": sd[f"{p}class_embedding.weight"]}
+
+    if "color" in use:
+        if cfg.color_embed:
+            w = sd[f"{p}color_embedding.weight"]
+            tbl = np.zeros((w.shape[0] + 1, w.shape[1]), w.dtype)
+            tbl[1:] = w
+            params["color_embedding"] = {"embedding": tbl}
+        else:
+            mlp("color_encoder")
+
+    if "position" in use:
+        mlp("pos_encoder")
+    if "num" in use:
+        mlp("num_encoder")
+    if len(use) > 1:
+        mlp("mlp_merge")
+    return params, stats
+
+
+def convert_language_encoder(
+    sd: Mapping[str, np.ndarray], prefix: str, is_fine: bool,
+    intra_num_heads: int, inter_num_heads: int = 4,
+):
+    """Reference LanguageEncoder (minus frozen T5) -> our LanguageEncoder.
+
+    intra_module.{i} -> intra_{i}; inter_mlp -> inter_mlp; coarse-only
+    inter_module.{i} -> inter_{i} (reference language_encoder.py:98-103).
+    llm_model.* keys (stripped from published checkpoints anyway) are ignored:
+    the frozen text embedding lives outside the model here.
+    """
+    p = f"{prefix}." if prefix else ""
+    params: Dict = {}
+    stats: Dict = {}
+    i = 0
+    while f"{p}intra_module.{i}.self_attn.in_proj_weight" in sd:
+        params[f"intra_{i}"] = convert_encoder_layer(
+            sd, f"{p}intra_module.{i}", intra_num_heads
+        )
+        i += 1
+    if i == 0:
+        raise KeyError(f"no intra_module layers under {prefix!r}")
+    mp, ms = convert_mlp(sd, f"{p}inter_mlp")
+    params["inter_mlp"] = mp
+    if ms:
+        stats["inter_mlp"] = ms
+    if not is_fine:
+        i = 0
+        while f"{p}inter_module.{i}.self_attn.in_proj_weight" in sd:
+            params[f"inter_{i}"] = convert_encoder_layer(
+                sd, f"{p}inter_module.{i}", inter_num_heads
+            )
+            i += 1
+        if i == 0:
+            raise KeyError(f"no inter_module layers under {prefix!r}")
+    return params, stats
+
+
+def convert_cell_retrieval_checkpoint(sd: Mapping[str, np.ndarray], cfg):
+    """Published coarse checkpoint -> CellRetrievalNetwork (params, stats).
+
+    `cfg` is a ModelConfig; layer/head counts must match the checkpoint's
+    training configuration. Reference module names: object_encoder,
+    obj_inter_module.{i} (cell_retrieval.py:31-49), language_encoder.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    oe_p, oe_s = convert_object_encoder(sd, "object_encoder", cfg)
+    params["object_encoder"] = oe_p
+    if oe_s:
+        stats["object_encoder"] = oe_s
+    i = 0
+    while f"obj_inter_module.{i}.self_attn.in_proj_weight" in sd:
+        params[f"obj_inter_{i}"] = convert_encoder_layer(
+            sd, f"obj_inter_module.{i}", cfg.object_inter_num_heads
+        )
+        i += 1
+    if i != cfg.object_inter_num_layers:
+        raise KeyError(
+            f"checkpoint has {i} obj_inter layers, config expects "
+            f"{cfg.object_inter_num_layers}"
+        )
+    le_p, le_s = convert_language_encoder(
+        sd, "language_encoder", is_fine=False,
+        intra_num_heads=cfg.intra_num_heads, inter_num_heads=cfg.inter_num_heads,
+    )
+    params["language_encoder"] = le_p
+    if le_s:
+        stats["language_encoder"] = le_s
+    return params, stats
+
+
+def convert_cross_matcher_checkpoint(sd: Mapping[str, np.ndarray], cfg):
+    """Published fine checkpoint -> CrossMatch (params, stats).
+
+    Reference module names: object_encoder, language_encoder, paired
+    cross_objects.{i}/cross_hints.{i} decoder stacks — or a single bare
+    `cross_hints` decoder layer when fine_num_decoder_layers == 0
+    (cross_matcher.py:68-80) — and mlp_offsets (get_mlp_offset, flat
+    Linear/ReLU Sequential).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    oe_p, oe_s = convert_object_encoder(sd, "object_encoder", cfg)
+    params["object_encoder"] = oe_p
+    if oe_s:
+        stats["object_encoder"] = oe_s
+    le_p, le_s = convert_language_encoder(
+        sd, "language_encoder", is_fine=True,
+        intra_num_heads=cfg.fine_intra_num_heads,
+    )
+    params["language_encoder"] = le_p
+    if le_s:
+        stats["language_encoder"] = le_s
+
+    heads = cfg.fine_num_decoder_heads
+    if "cross_hints.self_attn.in_proj_weight" in sd:   # single-layer fallback
+        params["cross_hints_0"] = convert_decoder_layer(sd, "cross_hints", heads)
+    else:
+        i = 0
+        while f"cross_hints.{i}.self_attn.in_proj_weight" in sd:
+            params[f"cross_hints_{i}"] = convert_decoder_layer(
+                sd, f"cross_hints.{i}", heads
+            )
+            params[f"cross_objects_{i}"] = convert_decoder_layer(
+                sd, f"cross_objects.{i}", heads
+            )
+            i += 1
+        if i != cfg.fine_num_decoder_layers:
+            raise KeyError(
+                f"checkpoint has {i} decoder layers, config expects "
+                f"{cfg.fine_num_decoder_layers}"
+            )
+    mo_p, _ = convert_mlp(sd, "mlp_offsets", batchnorm=False)
+    params["mlp_offsets"] = mo_p
+    return params, stats
+
+
+def _graft(base, new):
+    """Recursively overlay `new` onto dict tree `base` (strict=False load:
+    anything absent from the checkpoint keeps its initialized value)."""
+    out = dict(base)
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(out.get(k), Mapping):
+            out[k] = _graft(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_torch_tower(path: str, cfg, kind: str, params=None, batch_stats=None):
+    """Load a published .pth into (params, batch_stats) for one tower.
+
+    kind: "coarse" (CellRetrievalNetwork) or "fine" (CrossMatch). When
+    initialized trees are passed, converted values are grafted onto them
+    (strict=False semantics); otherwise the converted trees are returned bare.
+    Requires torch to deserialize the .pth.
+    """
+    import torch
+
+    sd = to_numpy(torch.load(path, map_location="cpu", weights_only=False))
+    if kind == "coarse":
+        p, s = convert_cell_retrieval_checkpoint(sd, cfg)
+    elif kind == "fine":
+        p, s = convert_cross_matcher_checkpoint(sd, cfg)
+    else:
+        raise ValueError(kind)
+    if params is not None:
+        p = _graft(params, p)
+    if batch_stats is not None:
+        s = _graft(batch_stats, s)
+    return p, s
 
 
 def load_pretrained_pointnet(params, batch_stats, path: str):
