@@ -58,6 +58,38 @@ def _make_descr(obj: Object3d, pose3, matched=True):
     return DescriptionBestCell.unmatched(d)
 
 
+def _dump_reference_pickles(tmp_path, cells, poses):
+    """Pickle under the reference's module path (pickle writes
+    cls.__module__/__qualname__; fake them so CompatUnpickler is exercised).
+    Pickle verifies importability at dump time, so register stub modules too."""
+    import sys
+    import types
+
+    classes = (Object3d, DescriptionPoseCell, DescriptionBestCell, Pose, Cell)
+    ref_mod = "datapreparation.kitti360pose.imports"
+    orig = [c.__module__ for c in classes]
+    stubs = {}
+    for name in ("datapreparation", "datapreparation.kitti360pose", ref_mod):
+        stubs[name] = types.ModuleType(name)
+    for c in classes:
+        c.__module__ = ref_mod
+        setattr(stubs[ref_mod], c.__name__, c)
+    sys.modules.update(stubs)
+    try:
+        os.makedirs(tmp_path / "cells", exist_ok=True)
+        os.makedirs(tmp_path / "poses", exist_ok=True)
+        os.makedirs(tmp_path / "direction", exist_ok=True)
+        with open(tmp_path / "cells" / f"{SCENE}.pkl", "wb") as f:
+            pickle.dump(cells, f)
+        with open(tmp_path / "poses" / f"{SCENE}.pkl", "wb") as f:
+            pickle.dump(poses, f)
+    finally:
+        for c, m in zip(classes, orig):
+            c.__module__ = m
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+
 @pytest.fixture
 def tiny_dataset(tmp_path):
     rng = np.random.default_rng(3)
@@ -81,35 +113,7 @@ def tiny_dataset(tmp_path):
         ]
         poses.append(Pose(pose_in_cell, pose_w, cells[ci].id, SCENE, descrs))
 
-    # Pickle under the reference's module path (pickle writes
-    # cls.__module__/__qualname__; fake them so CompatUnpickler is exercised).
-    # Pickle verifies importability at dump time, so register stub modules too.
-    import sys
-    import types
-
-    classes = (Object3d, DescriptionPoseCell, DescriptionBestCell, Pose, Cell)
-    ref_mod = "datapreparation.kitti360pose.imports"
-    orig = [c.__module__ for c in classes]
-    stubs = {}
-    for name in ("datapreparation", "datapreparation.kitti360pose", ref_mod):
-        stubs[name] = types.ModuleType(name)
-    for c in classes:
-        c.__module__ = ref_mod
-        setattr(stubs[ref_mod], c.__name__, c)
-    sys.modules.update(stubs)
-    try:
-        os.makedirs(tmp_path / "cells")
-        os.makedirs(tmp_path / "poses")
-        os.makedirs(tmp_path / "direction")
-        with open(tmp_path / "cells" / f"{SCENE}.pkl", "wb") as f:
-            pickle.dump(cells, f)
-        with open(tmp_path / "poses" / f"{SCENE}.pkl", "wb") as f:
-            pickle.dump(poses, f)
-    finally:
-        for c, m in zip(classes, orig):
-            c.__module__ = m
-        for name in stubs:
-            sys.modules.pop(name, None)
+    _dump_reference_pickles(tmp_path, cells, poses)
 
     neighbors = {
         cells[0].id: {"east": cells[1].id, "west": None},
@@ -177,6 +181,61 @@ def test_sample_close_cell_option(tiny_dataset):
         ci = batch["cell_index"][i]
         d = np.linalg.norm(centers[ci] - data.pose_w[p, :2])
         assert d <= data.cell_size[ci] / 2 + 1e-6
+
+
+def test_short_hint_sets_pad_and_mask(tmp_path):
+    """Adversarial fixture: poses with FEWER than num_mentioned hints convert
+    (the reference would assert, training/coarse.py:229-233); missing slots are
+    masked out of the batch end to end."""
+    rng = np.random.default_rng(5)
+    objs = _make_objects(rng, 5)
+    cell = Cell(0, SCENE, objs, 30.0, np.array([0.0, 0, 0, 30, 30, 30]))
+    poses = []
+    for n_hints in (6, 3, 1):
+        pose_in_cell = np.array([0.4, 0.6], np.float32)
+        pose3 = np.array([0.4, 0.6, 0.0])
+        descrs = [_make_descr(objs[j % 5], pose3) for j in range(n_hints)]
+        poses.append(Pose(pose_in_cell, np.array([12.0, 18.0, 0.0]),
+                          cell.id, SCENE, descrs))
+    _dump_reference_pickles(tmp_path, [cell], poses)
+
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+
+    data = MultiSceneArrays(convert_base_path(str(tmp_path), [SCENE], store_points=16))
+    np.testing.assert_array_equal(data.hint_mask.sum(axis=1), [6, 3, 1])
+    # Padded hint slots carry the pad class and are unmatched.
+    pad = ~data.hint_mask
+    assert (data.hint_label[pad] == C.PAD_CLASS_INDEX).all()
+    assert (data.hint_obj_idx[pad] == -1).all()
+    # The mask reaches the gathered batches as sentence_mask.
+    batch = data.gather_coarse(np.arange(3), 8)
+    np.testing.assert_array_equal(batch["sentence_mask"], data.hint_mask)
+    fine = data.gather_fine(np.arange(3), 5)
+    np.testing.assert_array_equal(fine["sentence_mask"], data.hint_mask)
+
+
+def test_object_overflow_cap_warns_and_truncates(tmp_path, capsys):
+    """>64-object cells trip the slot cap: a warning is printed and overflow
+    objects drop exactly like the reference's coarse truncation."""
+    rng = np.random.default_rng(6)
+    objs = _make_objects(rng, 70)
+    cell = Cell(0, SCENE, objs, 30.0, np.array([0.0, 0, 0, 30, 30, 30]))
+    pose3 = np.array([0.5, 0.5, 0.0])
+    descrs = [_make_descr(objs[j], pose3) for j in range(6)]
+    pose = Pose(np.array([0.5, 0.5], np.float32),
+                np.array([15.0, 15.0, 0.0]), cell.id, SCENE, [descrs[0]] * 6)
+    _dump_reference_pickles(tmp_path, [cell], [pose])
+
+    scenes = convert_base_path(str(tmp_path), [SCENE], store_points=16)
+    out = capsys.readouterr().out
+    assert "exceed the 64-object slot cap" in out
+    s = scenes[0]
+    assert s.obj_xyz.shape[1] == 64
+    assert s.obj_mask.sum() == 64
+    # Explicit override keeps everything.
+    scenes2 = convert_base_path(str(tmp_path), [SCENE], store_points=16,
+                                object_slots=70)
+    assert scenes2[0].obj_mask.sum() == 70
 
 
 def test_fine_offset_target_variants(tiny_dataset):

@@ -62,6 +62,15 @@ class SceneArrays:
     pmc_valid: Optional[np.ndarray] = None   # [N, 8] bool: clone candidate ok
     pmc_weight: Optional[np.ndarray] = None  # [N, 8] f32: 1/dist^2 sampling weight
     pmc_match: Optional[np.ndarray] = None   # [N, 8, S] int32: re-matched slots, -1
+    # Hint-slot validity: poses with fewer than S hints are padded + masked
+    # (the reference hard-asserts exactly num_mentioned hints,
+    # training/coarse.py:229-233; we accept short hint sets). None = all real
+    # (backwards compatible with round-1 npz files).
+    hint_mask: Optional[np.ndarray] = None   # [N, S] bool
+
+    def __post_init__(self):
+        if self.hint_mask is None:
+            self.hint_mask = np.ones(self.hint_dir.shape, dtype=bool)
 
     @property
     def num_cells(self) -> int:
@@ -160,6 +169,7 @@ class MultiSceneArrays:
             "hint_label",
             "hint_obj_idx",
             "hint_matched",
+            "hint_mask",
             "offset_center",
             "offset_closest",
             "best_offset_center",
@@ -260,6 +270,7 @@ class MultiSceneArrays:
             hint_dir=self.hint_dir[pi],
             hint_color=self.hint_color[pi],
             hint_label=self.hint_label[pi],
+            sentence_mask=self.hint_mask[pi],
             pose_in_cell=self.pose_in_cell[pi],
             pose_w=self.pose_w[pi],
         )
@@ -369,6 +380,7 @@ class MultiSceneArrays:
             hint_dir=self.hint_dir[pi],
             hint_color=self.hint_color[pi],
             hint_label=self.hint_label[pi],
+            sentence_mask=self.hint_mask[pi],
             target=target,
             pose_in_cell=self.pose_in_cell[pi].astype(np.float32),
             pose_w=self.pose_w[pi],

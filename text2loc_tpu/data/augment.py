@@ -116,6 +116,7 @@ def shuffle_hints(batch: Dict[str, jnp.ndarray], key) -> Dict[str, jnp.ndarray]:
     noise = jax.random.uniform(key, (b, s))
     perm = jnp.argsort(noise, axis=1)
     out = dict(batch)
-    for name in ("hint_dir", "hint_color", "hint_label"):
-        out[name] = jnp.take_along_axis(batch[name], perm, axis=1)
+    for name in ("hint_dir", "hint_color", "hint_label", "sentence_mask"):
+        if name in batch:
+            out[name] = jnp.take_along_axis(batch[name], perm, axis=1)
     return out

@@ -105,6 +105,7 @@ def convert_scene(
     hint_label = np.full((npose, s), C.PAD_CLASS_INDEX, np.int32)
     hint_obj_idx = np.full((npose, s), -1, np.int32)
     hint_matched = np.zeros((npose, s), bool)
+    hint_mask = np.zeros((npose, s), bool)
     offset_center = np.zeros((npose, s, 2), np.float32)
     offset_closest = np.zeros((npose, s, 2), np.float32)
     best_offset_center = np.zeros((npose, s, 2), np.float32)
@@ -115,11 +116,15 @@ def convert_scene(
         pw = np.asarray(pose.pose_w, np.float32)
         pose_w[pi, : len(pw)] = pw
         pose_in_cell[pi] = np.asarray(pose.pose, np.float32)[:2]
+        # Truncate long hint lists; PAD + MASK short ones (the reference
+        # asserts exactly num_mentioned per pose, training/coarse.py:229-233 —
+        # a single malformed pose in a published pickle would kill the whole
+        # conversion; the sentence_mask keeps padded slots out of attention
+        # and pooling end to end).
         descrs = pose.descriptions[:s]
-        assert len(descrs) == s, (
-            f"pose {pi} in {scene_name}: {len(pose.descriptions)} hints, "
-            f"expected >= {s}"
-        )
+        if not descrs:
+            print(f"warning: pose {pi} in {scene_name} has no hints", flush=True)
+        hint_mask[pi, : len(descrs)] = True
         for si, d in enumerate(descrs):
             hint_dir[pi, si] = C.DIRECTION_TO_INDEX[d.direction]
             rgbm = np.asarray(d.object_color_rgb, np.float32)
@@ -184,6 +189,7 @@ def convert_scene(
         hint_label=hint_label,
         hint_obj_idx=hint_obj_idx,
         hint_matched=hint_matched,
+        hint_mask=hint_mask,
         offset_center=offset_center,
         offset_closest=offset_closest,
         best_offset_center=best_offset_center,

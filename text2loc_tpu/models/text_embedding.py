@@ -31,6 +31,27 @@ from text2loc_tpu import constants as C
 from text2loc_tpu.data.batch import TextSet
 
 
+def make_embedder(cfg, table_path: Optional[str] = None):
+    """CLI-level embedder selection: a prebuilt frozen table or the stand-in.
+
+    Returns (cfg, embedder). With a table (built by scripts/build_t5_table.py)
+    the model's text dims follow the table's [V, T, E] shape; without one the
+    deterministic compositional stand-in at the configured dims is used.
+    """
+    import dataclasses
+
+    if table_path:
+        emb = HintTextEmbedder.from_npz(table_path)
+        model = dataclasses.replace(
+            cfg.model, text_embed_dim=emb.embed_dim, max_hint_tokens=emb.max_tokens
+        )
+        return cfg.replace(model=model), emb
+    emb = HintTextEmbedder.compositional(
+        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
+    )
+    return cfg, emb
+
+
 class HintTextEmbedder:
     """Lookup-table embedder over the hint-triple vocabulary.
 
@@ -86,10 +107,14 @@ class HintTextEmbedder:
         token outputs, which is what the trainable intra-module consumes.
         """
         template_words = ["The", "pose", "is", "of", "a", "."]
+        # Colors keyed by NAME, not index: COLOR_NAMES contains "gray" twice
+        # (reference quirk) and a frozen LLM gives identical strings identical
+        # embeddings — the stand-in must too (the free-text parser relies on
+        # it, text2loc_tpu/text.py).
         words = (
             template_words
             + [f"dir:{d}" for d in C.DIRECTIONS]
-            + [f"col:{i}" for i in range(C.NUM_COLORS)]
+            + [f"col:{c}" for c in C.COLOR_NAMES]
             + [f"cls:{c}" for c in sorted(C.CLASS_TO_INDEX)]
         )
         word_to_id = {w: i for i, w in enumerate(words)}
@@ -109,7 +134,7 @@ class HintTextEmbedder:
                         word_to_id[f"dir:{C.DIRECTIONS[d]}"],
                         word_to_id["of"],
                         word_to_id["a"],
-                        word_to_id[f"col:{col}"],
+                        word_to_id[f"col:{C.COLOR_NAMES[col]}"],
                         word_to_id[f"cls:{C.INDEX_TO_CLASS[lab]}"],
                         word_to_id["."],
                     ][:max_tokens]
@@ -117,6 +142,22 @@ class HintTextEmbedder:
                     table[hid, : len(seq)] = word_emb[seq]
                     token_mask[hid, : len(seq)] = True
         return cls(table, token_mask)
+
+    @classmethod
+    def from_npz(cls, path: str) -> "HintTextEmbedder":
+        """Load a prebuilt frozen-text table (written by `from_t5` /
+        scripts/build_t5_table.py). Validates the [V, T, E] shape contract."""
+        data = np.load(path)
+        return cls(data["table"], data["token_mask"])
+
+    def checksum(self) -> str:
+        """Content hash of the frozen table (reproducibility contract)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(np.asarray(self.table)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(self.token_mask)).tobytes())
+        return h.hexdigest()
 
     @classmethod
     def from_t5(

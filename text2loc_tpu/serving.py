@@ -84,17 +84,22 @@ class Localizer:
         self._rng = jax.random.PRNGKey(0)
 
     def localize(self, hint_dir: np.ndarray, hint_color: np.ndarray,
-                 hint_label: np.ndarray) -> LocalizationResult:
+                 hint_label: np.ndarray,
+                 sentence_mask: Optional[np.ndarray] = None) -> LocalizationResult:
         """hint_*: [B, S] int32 hint triples -> positions.
 
         The fine stage refines all B*K candidates in one device batch (the
         reference loops poses one at a time, pipeline.py:105-126).
+        `sentence_mask` ([B, S] bool) marks real hints when a query carries
+        fewer than S; padded slots are kept out of attention and pooling.
         """
         batch = {
             "hint_dir": np.asarray(hint_dir),
             "hint_color": np.asarray(hint_color),
             "hint_label": np.asarray(hint_label),
         }
+        if sentence_mask is not None:
+            batch["sentence_mask"] = np.asarray(sentence_mask, bool)
         text_enc = self._encode_text(
             self.coarse_state.params, self.coarse_state.batch_stats, batch
         )
@@ -117,6 +122,8 @@ class Localizer:
             target=np.zeros((b * k, 2), np.float32),
             pose_in_cell=np.zeros((b * k, 2), np.float32),
         )
+        if sentence_mask is not None:
+            fine_batch["sentence_mask"] = batch["sentence_mask"][rep]
         pred = np.asarray(
             self._fine_forward(
                 self.fine_state.params, self.fine_state.batch_stats,
@@ -132,4 +139,27 @@ class Localizer:
             candidates_w=cand_w,
             cell_indices=idx,
             scores=scores,
+        )
+
+    def localize_text(self, descriptions) -> LocalizationResult:
+        """Localize from raw natural-language description strings.
+
+        The string front door the reference exposes through NLTK + T5
+        (language_encoder.py:106-121): each description is sentence-split and
+        parsed against the closed hint-template vocabulary
+        (text.parse_descriptions). Descriptions shorter than `num_mentioned`
+        are padded and masked; sentences outside the vocabulary raise
+        `text.HintParseError` (documented rejection — there is no online LLM
+        in the serving path; build a T5 table via
+        HintTextEmbedder.from_t5 / scripts/build_t5_table.py to extend the
+        vocabulary).
+        """
+        from text2loc_tpu.text import parse_descriptions
+
+        parsed = parse_descriptions(
+            descriptions, num_mentioned=self.cfg.model.num_mentioned
+        )
+        return self.localize(
+            parsed["hint_dir"], parsed["hint_color"], parsed["hint_label"],
+            sentence_mask=parsed["sentence_mask"],
         )

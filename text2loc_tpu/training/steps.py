@@ -85,7 +85,8 @@ def prepare_coarse_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
         augment=train and t.pc_augment,
     )
     objects = _build_object_set(batch, xyz, rgb)
-    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"])
+    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"],
+                          sentence_mask=batch.get("sentence_mask"))
     return objects, text
 
 
@@ -133,7 +134,8 @@ def make_coarse_encoders(model: CellRetrievalNetwork, embedder: HintTextEmbedder
         )
 
     def encode_text(params, batch_stats, batch):
-        text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"])
+        text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"],
+                              sentence_mask=batch.get("sentence_mask"))
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             text, train=False, method=model.encode_text,
@@ -153,7 +155,8 @@ def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
         augment=train and cfg.train.pc_augment,
     )
     objects = _build_object_set(batch, xyz, rgb)
-    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"])
+    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"],
+                          sentence_mask=batch.get("sentence_mask"))
     return FineBatch(
         objects=objects, text=text,
         target=batch["target"], pose_in_cell=batch["pose_in_cell"],
