@@ -28,6 +28,39 @@ def render_cell_topdown(data, cell_idx: int, size: int = 128) -> np.ndarray:
     return img
 
 
+def render_cell_3d(data, cell_idx: int, out_path: Optional[str] = None,
+                   elev: float = 35.0, azim: float = -60.0, max_points: int = 20000):
+    """Headless 3D scatter of a cell — replaces the reference's interactive
+    pptk viewers (datapreparation/kitti360pose/drawing.py:22-55,
+    rendering.py:31-70), which need a display stack. Returns the matplotlib
+    figure; writes a PNG when out_path is given.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xyz = data.obj_xyz[cell_idx]
+    rgb = data.obj_rgb[cell_idx]
+    mask = data.obj_mask[cell_idx]
+    pts = xyz[mask].reshape(-1, 3)
+    cols = np.clip(rgb[mask].reshape(-1, 3), 0.0, 1.0)
+    if len(pts) > max_points:
+        sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
+        pts, cols = pts[sel], cols[sel]
+
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=cols, s=1, linewidths=0)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_box_aspect((1, 1, 0.4))
+    ax.set_title(f"cell {cell_idx}")
+    if out_path is not None:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def render_pose_in_cell(data, pose_idx: int, size: int = 256,
                         pred_in_cell: Optional[np.ndarray] = None) -> np.ndarray:
     """Top-down render of a pose in its best cell: described (matched) objects

@@ -174,6 +174,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--debug_nans", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in --workdir")
+    ap.add_argument("--text_table", default=None,
+                    help="frozen T5 table .npz (scripts/build_t5_table.py); "
+                         "default: compositional stand-in")
     return ap
 
 
@@ -220,9 +223,9 @@ def main(argv=None):
 
         enable_nan_debugging()
     cfg, data_train, data_val, data_test = _load_data(cfg, args)
-    embedder = HintTextEmbedder.compositional(
-        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
-    )
+    from text2loc_tpu.models.text_embedding import make_embedder
+
+    cfg, embedder = make_embedder(cfg, args.text_table)
     mesh = None
     if args.dp:
         from text2loc_tpu.parallel import make_mesh

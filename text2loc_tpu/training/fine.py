@@ -200,9 +200,9 @@ def main(argv=None):
 
         enable_nan_debugging()
     cfg, data_train, data_val, data_test = _load_data(cfg, args)
-    embedder = HintTextEmbedder.compositional(
-        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
-    )
+    from text2loc_tpu.models.text_embedding import make_embedder
+
+    cfg, embedder = make_embedder(cfg, args.text_table)
     mesh = None
     if args.dp:
         from text2loc_tpu.parallel import make_mesh
