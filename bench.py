@@ -36,6 +36,7 @@ def _log(msg: str) -> None:
         print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
+V5E_PEAK_FLOPS = 197e12         # TPU v5e bf16 peak per chip
 NUM_POSES = 256
 TOP_K = 10
 ITERS = 3
@@ -128,6 +129,22 @@ def main():
     out.block_until_ready()
     _log("compiled; timing")
 
+    # Per-chunk FLOPs from XLA's own cost model (counts every fused op, not
+    # just matmuls) — the denominator for an honest MFU figure.
+    flops_per_chunk = None
+    try:
+        cost = (
+            jax.jit(lambda p, s, b, r: forward(p, s, b, r))
+            .lower(params, batch_stats, chunks[0], rng)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_chunk = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # cost model unavailable on some backends
+        _log(f"cost_analysis unavailable: {e}")
+
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     from text2loc_tpu.utils.profiling import profile_trace
 
@@ -141,16 +158,20 @@ def main():
     _log(f"timed {ITERS} epochs in {elapsed:.2f}s")
 
     qps = NUM_POSES * ITERS / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "fine_localization_throughput",
-                "value": round(qps, 2),
-                "unit": "queries/sec/chip",
-                "vs_baseline": round(qps / ESTIMATED_REFERENCE_QPS, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "fine_localization_throughput",
+        "value": round(qps, 2),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / ESTIMATED_REFERENCE_QPS, 2),
+    }
+    if flops_per_chunk:
+        # Achieved model FLOP/s over the timed region vs the chip's bf16 peak
+        # (v5e: 197 TFLOP/s). This replaces "fast vs an estimated torch rate"
+        # with "fraction of the hardware's light speed".
+        achieved = flops_per_chunk * len(chunks) * ITERS / elapsed
+        result["tflops"] = round(achieved / 1e12, 2)
+        result["mfu"] = round(achieved / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
