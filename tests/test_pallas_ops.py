@@ -83,6 +83,46 @@ def test_fused_set_abstraction_matches_xla():
     )
 
 
+def test_fused_sa_gather_matches_xla():
+    """Gather-mode fused kernel (interpret) vs the XLA path: identical
+    neighborhoods by construction (selection runs outside via ball_query_knn),
+    so only first-layer decomposition rounding differs."""
+    import functools
+
+    import jax
+
+    from text2loc_tpu.models.pointnet2 import SetAbstraction
+
+    rng = np.random.default_rng(4)
+    n, p, c = 8, 32, 5
+    x = jnp.asarray(rng.random((n, p, c)), jnp.float32)
+    pos = jnp.asarray(rng.random((n, p, 3)), jnp.float32)
+
+    def build(fused):
+        return SetAbstraction(
+            num_samples=16, radius=0.4, mlp_channels=(c + 3, 16, 24),
+            max_neighbors=8, fused=fused, fused_interpret=True,
+        )
+
+    ref_mod = build(False)
+    variables = jax.jit(functools.partial(ref_mod.init, train=False))(
+        jax.random.PRNGKey(1), x, pos
+    )
+    stats = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.arange(a.shape[0], dtype=np.float32) / a.shape[0],
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want, want_ctr = ref_mod.apply(variables, x, pos, train=False)
+    got, got_ctr = build("gather").apply(variables, x, pos, train=False)
+
+    np.testing.assert_array_equal(np.asarray(want_ctr), np.asarray(got_ctr))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_pallas_gather_bit_equal():
     from text2loc_tpu.ops.pallas_gather import gather_rows_pallas
 

@@ -33,26 +33,33 @@ from text2loc_tpu.models.mlp import get_mlp
 from text2loc_tpu.ops.ballquery import ball_query_knn, gather_neighbors
 from text2loc_tpu.ops.fps import fps_gather
 from text2loc_tpu.ops.masked import masked_max
-from text2loc_tpu.ops.pallas_pointconv import fold_bn_affine, fused_set_abstraction
+from text2loc_tpu.ops.pallas_pointconv import (
+    fold_bn_affine,
+    fused_sa_gather,
+    fused_set_abstraction,
+)
 
 
 def _fused_mode() -> str:
-    """"off" | "exact" | "all" (env TEXT2LOC_FUSED_SA = 1 / all).
+    """"off" | "exact" | "all" | "gather" (env TEXT2LOC_FUSED_SA).
 
-    "exact" replicates K-nearest-within-radius selection in-kernel (measured
-    slower than the one-hot XLA path at reference scale: the per-cloud
-    sequential K argmin rounds dominate). "all" aggregates over ALL in-radius
-    neighbors — a deterministic superset of the reference's arbitrary <=K
-    subset — with no sequential selection at all."""
+    "gather" (the TPU inference default): neighbor selection runs OUTSIDE on
+    the MXU (ball_query_knn — identical neighborhoods to the XLA path) and the
+    fused kernel gathers the K selected neighbors via a one-hot matmul that
+    never leaves VMEM. "exact" replicates K-nearest selection in-kernel
+    (measured slower: sequential argmin rounds). "all" aggregates over ALL
+    in-radius neighbors — a deterministic superset of the reference's
+    arbitrary <=K subset. Accuracy deltas for all modes measured in
+    BENCHMARKS.md (scripts/validate_kernels.py)."""
     if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
         "TEXT2LOC_DISABLE_PALLAS"
     ):
         return "off"
-    v = os.environ.get("TEXT2LOC_FUSED_SA", "")
+    v = os.environ.get("TEXT2LOC_FUSED_SA", "gather")
     if v == "1":
         return "exact"
-    if v == "all":
-        return "all"
+    if v in ("all", "gather", "off"):
+        return v
     return "off"
 
 
@@ -137,6 +144,26 @@ class SetAbstraction(nn.Module):
                 for l in range(2)
             ]
             w0 = kernels[0].astype(self.dtype)
+            if mode == "gather":
+                # approx_max_k selection by default: measured identical
+                # retrieval/localization tables AND 100% top-1 agreement with
+                # exact top_k on trained weights (scripts/validate_kernels.py,
+                # BENCHMARKS.md) at ~35% lower selection cost. Set
+                # TEXT2LOC_APPROX_NEIGHBORS=0 to force exact top_k.
+                approx = os.environ.get("TEXT2LOC_APPROX_NEIGHBORS", "1") != "0"
+                nbr_idx, nbr_mask = ball_query_knn(
+                    pos, centers, self.radius, self.max_neighbors, approx=approx
+                )
+                feat = jnp.concatenate(
+                    [x.astype(self.dtype), pos.astype(self.dtype)], axis=-1
+                )
+                out = fused_sa_gather(
+                    feat, centers, nbr_idx, nbr_mask,
+                    w0, w0[c:], ab[0],
+                    kernels[1].astype(self.dtype), ab[1],
+                    interpret=self.fused_interpret,
+                )
+                return out, centers
             out = fused_set_abstraction(
                 x.astype(self.dtype), pos, centers,
                 w0[:c], w0[c:], ab[0],

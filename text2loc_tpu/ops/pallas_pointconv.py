@@ -159,6 +159,129 @@ def fused_set_abstraction(
     )(x, pos, centers, wx, wp, ab1, w2, ab2)
 
 
+def _sa_gather_kernel(feat_ref, ctr_ref, idx_ref, msk_ref, w1_ref, wp_ref,
+                      ab1_ref, w2_ref, ab2_ref, out_ref, *, tile_g: int):
+    """G clouds per program: one-hot VMEM gather of precomputed KNN + fused
+    edge MLP.
+
+    Unlike `_sa_kernel` (which pays per-edge compute on ALL S*P pairs or runs
+    K sequential argmin rounds), neighbor selection happens OUTSIDE on the MXU
+    (ops.ballquery.ball_query_knn: one batched d2 matmul + top_k — exactly the
+    default XLA path's neighborhoods), and this kernel only gathers the K
+    selected neighbors through a [S*K, P] one-hot matmul that never exists in
+    HBM. Per-edge work is S*K, an 8x cut vs all-pairs at reference shapes.
+    Multiple clouds per program (a fori_loop, so VMEM scratch is reused per
+    cloud) amortize program launch overhead over the 3-level x thousands-of-
+    clouds grid.
+    """
+    s, k = idx_ref.shape[1:]
+    p = feat_ref.shape[1]
+    a1 = ab1_ref[0]
+    b1 = ab1_ref[1]
+    a2 = ab2_ref[0]
+    b2 = ab2_ref[1]
+
+    def one_cloud(g, _):
+        feat = feat_ref[g]                          # [P, C+3] compute dtype
+        ctr = ctr_ref[g].astype(jnp.float32)        # [S, 3]
+        idx = idx_ref[g]                            # [S, K] int32 (clamped valid)
+        msk = msk_ref[g]                            # [S, K] f32 1/0
+
+        # One-hot selection [S*K, P] built in VMEM (exact: one unit per row).
+        # Built 3-D with the iota on the minor axis, then major dims collapsed
+        # — Mosaic rejects reshapes that move a minor dim into sublanes
+        # ([S, K] -> [S*K, 1] is an "unsupported shape cast").
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (s, k, p), 2)
+        oh = jnp.where(lanes == idx[:, :, None], 1.0, 0.0).astype(feat.dtype)
+        g_feat = jnp.dot(oh.reshape(s * k, p), feat,
+                         preferred_element_type=jnp.float32)    # [S*K, C+3]
+
+        # First layer decomposed: feat rows already hold pos_j, so
+        # W1([x_j, pos_j - c_i]) = g_feat @ W1 - c_i @ Wp.
+        sv = -jnp.dot(ctr, wp_ref[:].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)       # [S, H1]
+        h1 = jnp.dot(g_feat.astype(feat.dtype), w1_ref[:],
+                     preferred_element_type=jnp.float32)        # [S*K, H1]
+        h1 = h1.reshape(s, k, -1) + sv[:, None, :]
+        h1 = jnp.maximum(h1 * a1[None, None, :] + b1[None, None, :], 0.0)
+
+        h2 = jnp.dot(h1.reshape(s * k, -1).astype(feat.dtype), w2_ref[:],
+                     preferred_element_type=jnp.float32)        # [S*K, H2]
+        h2 = jnp.maximum(h2 * a2[None, :] + b2[None, :], 0.0)
+        h2 = h2.reshape(s, k, -1)
+
+        filled = jnp.where(msk[:, :, None] > 0.0, h2, NEG)
+        pooled = jnp.max(filled, axis=1)                        # [S, H2]
+        any_sel = jnp.max(msk, axis=1, keepdims=True)
+        out_ref[g] = jnp.where(any_sel > 0.0, pooled, 0.0).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, tile_g, one_cloud, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_g"))
+def fused_sa_gather(
+    feat: jax.Array,         # [N, P, C+3] concat(x, pos) in compute dtype
+    centers: jax.Array,      # [N, S, 3]
+    nbr_idx: jax.Array,      # [N, S, K] int32 (invalid slots clamped valid)
+    nbr_mask: jax.Array,     # [N, S, K] bool
+    w1: jax.Array,           # [C+3, H1] full first-layer kernel
+    wp: jax.Array,           # [3, H1]   its pos rows (for the -c_i term)
+    ab1: jax.Array,          # [2, H1] folded (scale, shift) incl. dense bias
+    w2: jax.Array,           # [H1, H2]
+    ab2: jax.Array,          # [2, H2]
+    interpret: bool = False,
+    tile_g: int = 8,
+) -> jax.Array:
+    """[N, S, H2] pooled SA features over precomputed KNN neighborhoods.
+
+    Inference only (BN pre-folded). Same neighborhoods as the default XLA
+    path — selection itself runs outside on the MXU. `tile_g` clouds are
+    processed per grid program (N is padded to a multiple).
+    """
+    n, p, cin = feat.shape
+    s, k = nbr_idx.shape[1:]
+    h1 = w1.shape[1]
+    h2 = w2.shape[1]
+    msk = nbr_mask.astype(jnp.float32)
+
+    g_tile = max(1, min(tile_g, n))
+    n_pad = -(-n // g_tile) * g_tile
+    if n_pad != n:
+        pad = [(0, n_pad - n)]
+        feat = jnp.pad(feat, pad + [(0, 0)] * 2)
+        centers = jnp.pad(centers, pad + [(0, 0)] * 2)
+        nbr_idx = jnp.pad(nbr_idx, pad + [(0, 0)] * 2)
+        msk = jnp.pad(msk, pad + [(0, 0)] * 2)
+
+    def im_x(i):
+        return (i, 0, 0)
+
+    def im_w(i):
+        return (0, 0)
+
+    kernel = functools.partial(_sa_gather_kernel, tile_g=g_tile)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, s, h2), feat.dtype),
+        grid=(n_pad // g_tile,),
+        in_specs=[
+            pl.BlockSpec((g_tile, p, cin), im_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_tile, s, 3), im_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_tile, s, k), im_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_tile, s, k), im_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, h1), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, h1), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h1), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, h2), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h2), im_w, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g_tile, s, h2), im_x, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(feat, centers, nbr_idx, msk, w1, wp, ab1, w2, ab2)
+    return out[:n]
+
+
 def fold_bn_affine(dense_bias, bn_scale, bn_bias, bn_mean, bn_var,
                    eps: float = 1e-5) -> jax.Array:
     """(Dense bias, BN params/stats) -> [2, C] folded (scale, shift).
