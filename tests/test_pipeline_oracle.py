@@ -43,6 +43,16 @@ def test_run_fine_matches_per_pose_oracle(small_cfg, small_embedder, small_data)
         data, retrievals, fine_state, fine_model, embedder, cfg
     )
 
+    # The cached-cell path (distinct cells encoded once) must equal the
+    # reference-style pair-by-pair recompute: the object tower is query-
+    # independent and eval BatchNorm uses running statistics.
+    accs_raw, pos_raw, _ = run_fine(
+        data, retrievals, fine_state, fine_model, embedder, cfg,
+        precompute_cells=False,
+    )
+    np.testing.assert_allclose(pos_in_cells, pos_raw, atol=1e-5, rtol=1e-5)
+    assert accs == accs_raw
+
     # Brute-force oracle from the same predictions.
     q, k = retrievals.shape
     for kk in [x for x in cfg.eval.top_k if x <= k]:

@@ -44,6 +44,24 @@ def test_localizer_roundtrip(small_cfg, small_embedder, small_data):
     assert (np.diff(res.scores, axis=1) <= 1e-6).all()
 
 
+def test_localizer_precomputed_fine_gallery_equals_recompute(
+    small_cfg, small_embedder, small_data
+):
+    """The cached per-cell fine embeddings must reproduce the recompute path
+    exactly (query-independent object tower, eval-mode BN)."""
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    cached = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3)
+    raw = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                    precompute_fine=False)
+
+    q = np.arange(5)
+    a = cached.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    b = raw.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+    np.testing.assert_allclose(a.candidates_w, b.candidates_w, atol=1e-4)
+
+
 def test_localizer_sharded_gallery(small_cfg, small_embedder, small_data):
     cfg, data, embedder = small_cfg, small_data, small_embedder
     cs, cm, fs, fm = _states(cfg, embedder, data)

@@ -65,11 +65,24 @@ def point_cloud_transform(xyz, rgb, key, num_points: int, augment: bool):
 
     train: FixedPoints -> RandomRotate(120, z) -> NormalizeScale
     eval:  FixedPoints -> NormalizeScale        (coarse.py:183-193)
+
+    Eval-mode point selection is DETERMINISTIC here (all stored points when
+    counts match — the standard ingest config — else an even stride): the
+    reference's eval FixedPoints draws randomly with replacement, so no
+    canonical subset exists, and a deterministic choice makes evaluation
+    reproducible and independent of batch composition (which also lets the
+    fine stage cache per-cell encodings, evaluation/pipeline.run_fine).
     """
-    k1, k2 = jax.random.split(key)
-    xyz, rgb = resample_points(xyz, rgb, k1, num_points)
     if augment:
+        k1, k2 = jax.random.split(key)
+        xyz, rgb = resample_points(xyz, rgb, k1, num_points)
         xyz = random_rotate_z(xyz, k2)
+    else:
+        p = xyz.shape[-2]
+        if p != num_points:
+            idx = (np.arange(num_points) * p // max(num_points, 1)).astype(np.int32)
+            xyz = jnp.take(xyz, idx, axis=-2)
+            rgb = jnp.take(rgb, idx, axis=-2)
     return normalize_scale(xyz), rgb
 
 

@@ -28,7 +28,11 @@ from text2loc_tpu.data.arrays import MultiSceneArrays
 from text2loc_tpu.evaluation import metrics
 from text2loc_tpu.evaluation.retrieval import eval_retrieval
 from text2loc_tpu.models.text_embedding import HintTextEmbedder
-from text2loc_tpu.training.steps import TrainState, make_fine_forward
+from text2loc_tpu.training.steps import (
+    TrainState,
+    make_fine_forward,
+    make_fine_split_forwards,
+)
 
 
 def run_coarse(
@@ -72,11 +76,19 @@ def run_fine(
     embedder: HintTextEmbedder,
     cfg: Config,
     chunk: Optional[int] = None,
+    precompute_cells: bool = True,
 ) -> Tuple[Dict[int, Dict[float, float]], np.ndarray, float]:
     """Batched fine refinement over all (pose, candidate) pairs.
 
     Returns (accuracy table, pos_in_cells [Q, K, 2], queries/sec) — the
     throughput figure mirrors the reference's stage timer (pipeline.py:102-126).
+
+    With `precompute_cells` (default), each DISTINCT retrieved cell's object
+    embeddings are encoded once and reused across every (pose, candidate)
+    pair — identical outputs (the object tower is query-independent and eval
+    BatchNorm uses running stats), radically less compute than the
+    reference's per-pose recompute loop. False forces the pair-by-pair
+    recompute (the reference's exact work).
     """
     q, k = retrievals.shape
     pad = cfg.model.pad_size
@@ -86,21 +98,51 @@ def run_fine(
     # Default device chunk: bounded so the PointNet SA edge activations
     # (chunk * pad_size clouds) stay well inside HBM (see bench.py).
     chunk = chunk or min(cfg.eval.batch_size * max(cfg.eval.top_k), 128)
-
-    forward = make_fine_forward(model, embedder, cfg)
     rng = jax.random.PRNGKey(0)
 
     out = np.zeros((total, 2), np.float32)
-    start = time.perf_counter()
-    for s in range(0, total, chunk):
-        idx = np.arange(s, min(s + chunk, total))
-        full = np.resize(idx, chunk)  # pad the tail by wrapping
-        batch = data.gather_fine(
-            pose_idx[full], pad, cell_indices=cell_idx[full], match_first=False
-        )
-        pred = forward(state.params, state.batch_stats, batch, rng)
-        out[idx] = np.asarray(pred)[: len(idx)]
-    elapsed = time.perf_counter() - start
+    if precompute_cells:
+        encode_objects, refine = make_fine_split_forwards(model, embedder, cfg)
+        uniq, inv = np.unique(cell_idx, return_inverse=True)
+        start = time.perf_counter()
+        # Encode each distinct candidate cell once.
+        emb_rows = []
+        for s in range(0, len(uniq), chunk):
+            ids = np.resize(uniq[s : s + chunk], chunk)
+            cb = data.gather_cell_objects(ids, pad)
+            e = encode_objects(state.params, state.batch_stats, cb, rng)
+            emb_rows.append(np.asarray(e)[: len(uniq[s : s + chunk])])
+        cell_emb = np.concatenate(emb_rows, axis=0)          # [Cu, pad, D]
+        cell_mask = data.obj_mask[uniq][:, :pad]             # [Cu, pad]
+        # Per-pair: cached object embeddings + the query's text.
+        for s in range(0, total, chunk):
+            idx = np.arange(s, min(s + chunk, total))
+            full = np.resize(idx, chunk)
+            pi = pose_idx[full]
+            tb = {
+                "hint_dir": data.hint_dir[pi],
+                "hint_color": data.hint_color[pi],
+                "hint_label": data.hint_label[pi],
+                "sentence_mask": data.hint_mask[pi],
+            }
+            pred = refine(
+                state.params, state.batch_stats,
+                cell_emb[inv[full]], cell_mask[inv[full]], tb,
+            )
+            out[idx] = np.asarray(pred)[: len(idx)]
+        elapsed = time.perf_counter() - start
+    else:
+        forward = make_fine_forward(model, embedder, cfg)
+        start = time.perf_counter()
+        for s in range(0, total, chunk):
+            idx = np.arange(s, min(s + chunk, total))
+            full = np.resize(idx, chunk)  # pad the tail by wrapping
+            batch = data.gather_fine(
+                pose_idx[full], pad, cell_indices=cell_idx[full], match_first=False
+            )
+            pred = forward(state.params, state.batch_stats, batch, rng)
+            out[idx] = np.asarray(pred)[: len(idx)]
+        elapsed = time.perf_counter() - start
     qps = q / max(elapsed, 1e-9)
 
     pos_in_cells = out.reshape(q, k, 2)

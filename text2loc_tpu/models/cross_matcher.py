@@ -71,13 +71,22 @@ class CrossMatch(nn.Module):
             [cfg.fine_embed_dim, cfg.fine_embed_dim // 2, 2], dtype=dtype
         )
 
-    def __call__(self, objects: ObjectSet, text: TextSet, train: bool = False):
-        """Returns [B, 2] predicted normalized positions."""
-        hints = self.language_encoder(text, train=train)       # [B, S, D]
-        obj = self.object_encoder(objects, train=train)        # [B, O, D]
-        obj = l2_normalize(obj)
+    def encode_objects(self, objects: ObjectSet, train: bool = False):
+        """Query-independent half: [B, O, D] normalized object embeddings.
 
-        obj_mask = objects.mask if self.cfg.mask_padded else None
+        The candidate-cell side of the fine stage depends only on the cell
+        (static map data) — production serving precomputes it per gallery
+        cell once (serving.Localizer), the TPU-first counterpart of the
+        reference re-encoding every candidate inside its per-pose loop
+        (evaluation/pipeline.py:105-126)."""
+        obj = self.object_encoder(objects, train=train)        # [B, O, D]
+        return l2_normalize(obj)
+
+    def refine(self, obj, obj_mask, text: TextSet, train: bool = False):
+        """Query-dependent half: text encoder + CCT + offsets -> [B, 2]."""
+        hints = self.language_encoder(text, train=train)       # [B, S, D]
+        if not self.cfg.mask_padded:
+            obj_mask = None
         hint_mask = text.sentence_mask if self.cfg.mask_padded else None
 
         if self.cross_objects is not None:
@@ -95,6 +104,11 @@ class CrossMatch(nn.Module):
             pooled = jnp.max(hints, axis=1)
         offsets = self.mlp_offsets(pooled.astype(jnp.float32))
         return offsets                                           # [B, 2]
+
+    def __call__(self, objects: ObjectSet, text: TextSet, train: bool = False):
+        """Returns [B, 2] predicted normalized positions."""
+        obj = self.encode_objects(objects, train=train)
+        return self.refine(obj, objects.mask, text, train=train)
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,8 @@ class Localizer:
         cfg: Config,
         top_k: int = 10,
         mesh=None,
+        precompute_fine: bool = True,
+        chunk: int = 128,
     ):
         self.data = data
         self.cfg = cfg
@@ -62,6 +64,7 @@ class Localizer:
         self.coarse_state = coarse_state
         self.fine_state = fine_state
         self.mesh = mesh
+        self._chunk = chunk
 
         encode_cells, encode_text = make_coarse_encoders(coarse_model, embedder, cfg)
         self._encode_text = encode_text
@@ -82,6 +85,30 @@ class Localizer:
             self._topk = None
         self._fine_forward = steps_lib.make_fine_forward(fine_model, embedder, cfg)
         self._rng = jax.random.PRNGKey(0)
+
+        # Fine-stage gallery cache: per-cell object embeddings are a pure
+        # function of static map data — encode every gallery cell ONCE, and
+        # each query pays only for its text tower + CCT refinement. The
+        # reference re-encodes candidate cells inside its per-pose loop
+        # (evaluation/pipeline.py:105-126).
+        self._fine_emb = self._fine_mask = None
+        if precompute_fine:
+            encode_objects, refine = steps_lib.make_fine_split_forwards(
+                fine_model, embedder, cfg
+            )
+            self._fine_refine = refine
+            pad = cfg.model.pad_size
+            rows = []
+            for s in range(0, data.num_cells, chunk):
+                ids = np.arange(s, min(s + chunk, data.num_cells))
+                full = np.resize(ids, chunk)
+                cb = data.gather_cell_objects(full, pad)
+                e = encode_objects(
+                    fine_state.params, fine_state.batch_stats, cb, self._rng
+                )
+                rows.append(np.asarray(e)[: len(ids)])
+            self._fine_emb = np.concatenate(rows, axis=0)     # [C, pad, D]
+            self._fine_mask = np.asarray(data.obj_mask[:, :pad])
 
     def localize(self, hint_dir: np.ndarray, hint_color: np.ndarray,
                  hint_label: np.ndarray,
@@ -112,24 +139,40 @@ class Localizer:
 
         b, k = idx.shape
         rep = np.repeat(np.arange(b), k)  # hint rows replicate per candidate
-        fine_batch = self.data.gather_cell_objects(
-            idx.reshape(-1), self.cfg.model.pad_size
-        )
-        fine_batch.update(
-            hint_dir=batch["hint_dir"][rep],
-            hint_color=batch["hint_color"][rep],
-            hint_label=batch["hint_label"][rep],
-            target=np.zeros((b * k, 2), np.float32),
-            pose_in_cell=np.zeros((b * k, 2), np.float32),
-        )
-        if sentence_mask is not None:
-            fine_batch["sentence_mask"] = batch["sentence_mask"][rep]
-        pred = np.asarray(
-            self._fine_forward(
-                self.fine_state.params, self.fine_state.batch_stats,
-                fine_batch, self._rng,
+        flat = idx.reshape(-1)
+        if self._fine_emb is not None:
+            text_batch = {
+                "hint_dir": batch["hint_dir"][rep],
+                "hint_color": batch["hint_color"][rep],
+                "hint_label": batch["hint_label"][rep],
+            }
+            if sentence_mask is not None:
+                text_batch["sentence_mask"] = batch["sentence_mask"][rep]
+            pred = np.asarray(
+                self._fine_refine(
+                    self.fine_state.params, self.fine_state.batch_stats,
+                    self._fine_emb[flat], self._fine_mask[flat], text_batch,
+                )
+            ).reshape(b, k, 2)
+        else:
+            fine_batch = self.data.gather_cell_objects(
+                flat, self.cfg.model.pad_size
             )
-        ).reshape(b, k, 2)
+            fine_batch.update(
+                hint_dir=batch["hint_dir"][rep],
+                hint_color=batch["hint_color"][rep],
+                hint_label=batch["hint_label"][rep],
+                target=np.zeros((b * k, 2), np.float32),
+                pose_in_cell=np.zeros((b * k, 2), np.float32),
+            )
+            if sentence_mask is not None:
+                fine_batch["sentence_mask"] = batch["sentence_mask"][rep]
+            pred = np.asarray(
+                self._fine_forward(
+                    self.fine_state.params, self.fine_state.batch_stats,
+                    fine_batch, self._rng,
+                )
+            ).reshape(b, k, 2)
 
         bbox = self.data.cell_bbox[idx]                  # [B, K, 6]
         size = self.data.cell_size[idx][..., None]

@@ -207,6 +207,47 @@ def make_fine_forward(model: CrossMatch, embedder: HintTextEmbedder, cfg: Config
     return jax.jit(forward)
 
 
+def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
+                             cfg: Config):
+    """The fine stage split at its query-independence boundary.
+
+    Candidate-cell object embeddings are a pure function of the cell (static
+    map data); only the text tower + CCT depend on the query. Production
+    serving and batched evaluation encode each gallery cell ONCE and reuse it
+    across every query/candidate pair — the TPU-first answer to the
+    reference's per-pose recompute loop (evaluation/pipeline.py:105-126).
+
+    Returns (encode_objects, refine):
+        encode_objects(params, batch_stats, cell_batch, rng) -> [B, O, D]
+        refine(params, batch_stats, obj_emb, obj_mask, text_batch) -> [B, 2]
+    Outputs are bit-identical to make_fine_forward's combined program (eval
+    mode BatchNorm uses running statistics, so the split changes nothing).
+    """
+
+    def encode_objects(params, batch_stats, batch, rng):
+        xyz, rgb = augment.point_cloud_transform(
+            batch["xyz"], batch["rgb"], rng,
+            num_points=cfg.model.pointnet.num_points, augment=False,
+        )
+        objects = _build_object_set(batch, xyz, rgb)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            objects, train=False, method=model.encode_objects,
+        )
+
+    def refine(params, batch_stats, obj_emb, obj_mask, batch):
+        text = embedder.embed(
+            batch["hint_dir"], batch["hint_color"], batch["hint_label"],
+            sentence_mask=batch.get("sentence_mask"),
+        )
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            obj_emb, obj_mask, text, train=False, method=model.refine,
+        )
+
+    return jax.jit(encode_objects), jax.jit(refine)
+
+
 def init_train_state(model, optimizer, rng, objects: ObjectSet, text: TextSet,
                      method=None) -> TrainState:
     kp, kd = jax.random.split(rng)
