@@ -73,7 +73,14 @@ class ModelConfig:
     mask_padded: bool = True
 
     dropout_rate: float = 0.1             # torch TransformerEncoderLayer default
-    dtype: str = "bfloat16"               # compute dtype for the transformer stacks
+    dtype: str = "bfloat16"               # INFERENCE compute dtype
+    # Training compute dtype. float32 and not negotiable lightly: on the
+    # current remote-TPU stack, the bf16 backward of the coarse tower's
+    # layer -> masked_max -> l2_normalize tail miscompiles to EXACTLY ZERO
+    # gradients (forward fine, CPU fine, f32 fine) — measured in
+    # BENCHMARKS.md "bf16 training" note. Parameters are f32 either way, so
+    # checkpoints interoperate between train (f32) and serving (bf16) models.
+    train_dtype: str = "float32"
 
     pointnet: PointNetConfig = field(default_factory=PointNetConfig)
 

@@ -54,6 +54,11 @@ def train_coarse(
     reference evaluates test every epoch, coarse.py:283-287; a single final
     eval avoids leaking test signal into any decision)."""
     t = cfg.train
+    # Train-time compute dtype (see ModelConfig.train_dtype): params stay
+    # f32, so the returned state drives bf16 serving models unchanged.
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, dtype=cfg.model.train_dtype)
+    )
     model = CellRetrievalNetwork(cfg.model)
     n_train = data_train.num_poses
     steps_per_epoch = max(n_train // t.batch_size, 1)

@@ -20,6 +20,7 @@ CLI:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -85,6 +86,9 @@ def train_fine(
     data_test: Optional[MultiSceneArrays] = None,
 ) -> Tuple[steps_lib.TrainState, CrossMatch, MetricLogger]:
     t = cfg.train
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, dtype=cfg.model.train_dtype)
+    )
     model = CrossMatch(cfg.model)
     n_train = data_train.num_poses
     steps_per_epoch = max(n_train // t.batch_size, 1)
