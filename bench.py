@@ -184,45 +184,61 @@ def main():
     # gallery embeddings) and each query pays only text tower + CCT. The raw
     # path above performs the reference's per-pose recompute work
     # (evaluation/pipeline.py:105-126) for an apples-to-apples number.
-    encode_objects, refine = steps_lib.make_fine_split_forwards(model, embedder, cfg)
+    fwd = steps_lib.make_fine_split_forwards(model, embedder, cfg)
     _log("precomputing fine gallery (offline stage)")
     emb_rows = []
     for s in range(0, data.num_cells, CHUNK):
         ids = np.resize(np.arange(s, min(s + CHUNK, data.num_cells)), CHUNK)
         cb = jax.device_put(data.gather_cell_objects(ids, m.pad_size))
-        e = encode_objects(params, batch_stats, cb, rng)
+        e = fwd.encode_objects(params, batch_stats, cb, rng)
         emb_rows.append(np.asarray(e)[: min(CHUNK, data.num_cells - s)])
     cell_emb = np.concatenate(emb_rows, axis=0)
     cell_mask = np.asarray(data.obj_mask[:, : m.pad_size])
 
-    serve_chunks = []
-    for i in range(0, total, CHUNK):
-        sl = slice(i, i + CHUNK)
-        serve_chunks.append(
-            jax.device_put(
-                (
-                    cell_emb[cell_idx[sl]],
-                    cell_mask[cell_idx[sl]],
-                    {
-                        "hint_dir": data.hint_dir[pose_idx[sl]],
-                        "hint_color": data.hint_color[pose_idx[sl]],
-                        "hint_label": data.hint_label[pose_idx[sl]],
-                        "sentence_mask": data.hint_mask[pose_idx[sl]],
-                    },
-                )
+    # Per-query work = encode this query's hints ONCE + CCT over its K
+    # candidates against cached cell embeddings. Both stay inside the timer;
+    # only the static-map gallery encode above is offline.
+    text_all = jax.device_put({
+        "hint_dir": data.hint_dir[:NUM_POSES],
+        "hint_color": data.hint_color[:NUM_POSES],
+        "hint_label": data.hint_label[:NUM_POSES],
+        "sentence_mask": data.hint_mask[:NUM_POSES],
+    })
+    sent_all = jnp.asarray(data.hint_mask[:NUM_POSES])
+    pair_chunks = [
+        jax.device_put(
+            (
+                cell_emb[cell_idx[i : i + CHUNK]],
+                cell_mask[cell_idx[i : i + CHUNK]],
+                pose_idx[i : i + CHUNK].astype(np.int32),
             )
         )
-    e0, m0, t0 = serve_chunks[0]
-    out = refine(params, batch_stats, e0, m0, t0)
+        for i in range(0, total, CHUNK)
+    ]
+
+    @jax.jit
+    def cct_chunk(params, batch_stats, emb, mask, hints_all, sent_all, pose_ids):
+        return fwd.cct(    # nested jit inlines
+            params, batch_stats, emb, mask,
+            jnp.take(hints_all, pose_ids, axis=0),
+            jnp.take(sent_all, pose_ids, axis=0),
+        )
+
+    def serve_epoch():
+        hints_all = fwd.encode_text(params, batch_stats, text_all)
+        for e, mk, pid in pair_chunks:
+            out = cct_chunk(params, batch_stats, e, mk, hints_all, sent_all, pid)
+        return out
+
+    out = serve_epoch()
     _drain(out)
-    _log("compiled refine; timing production path")
+    _log("compiled production path; timing")
     group = 10  # epochs per timed group (amortizes the ~30 ms drain)
     serve_groups = []
     for _ in range(ITERS):
         start = time.perf_counter()
         for _ in range(group):
-            for e, mk, tb in serve_chunks:
-                out = refine(params, batch_stats, e, mk, tb)
+            out = serve_epoch()
         _drain(out)
         serve_groups.append(time.perf_counter() - start)
     _log(f"production groups ({group} epochs each): "

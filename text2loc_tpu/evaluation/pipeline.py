@@ -102,7 +102,7 @@ def run_fine(
 
     out = np.zeros((total, 2), np.float32)
     if precompute_cells:
-        encode_objects, refine = make_fine_split_forwards(model, embedder, cfg)
+        fwd = make_fine_split_forwards(model, embedder, cfg)
         uniq, inv = np.unique(cell_idx, return_inverse=True)
         start = time.perf_counter()
         # Encode each distinct candidate cell once.
@@ -110,24 +110,32 @@ def run_fine(
         for s in range(0, len(uniq), chunk):
             ids = np.resize(uniq[s : s + chunk], chunk)
             cb = data.gather_cell_objects(ids, pad)
-            e = encode_objects(state.params, state.batch_stats, cb, rng)
+            e = fwd.encode_objects(state.params, state.batch_stats, cb, rng)
             emb_rows.append(np.asarray(e)[: len(uniq[s : s + chunk])])
         cell_emb = np.concatenate(emb_rows, axis=0)          # [Cu, pad, D]
         cell_mask = data.obj_mask[uniq][:, :pad]             # [Cu, pad]
-        # Per-pair: cached object embeddings + the query's text.
+        # Encode each pose's hints once (shared by its K candidates).
+        hint_rows = []
+        for s in range(0, q, chunk):
+            ids = np.resize(np.arange(s, min(s + chunk, q)), chunk)
+            tb = {
+                "hint_dir": data.hint_dir[ids],
+                "hint_color": data.hint_color[ids],
+                "hint_label": data.hint_label[ids],
+                "sentence_mask": data.hint_mask[ids],
+            }
+            h = fwd.encode_text(state.params, state.batch_stats, tb)
+            hint_rows.append(np.asarray(h)[: min(chunk, q - s)])
+        hints = np.concatenate(hint_rows, axis=0)            # [Q, S, D]
+        # Per-pair: cached object embeddings x cached hint encodings.
         for s in range(0, total, chunk):
             idx = np.arange(s, min(s + chunk, total))
             full = np.resize(idx, chunk)
             pi = pose_idx[full]
-            tb = {
-                "hint_dir": data.hint_dir[pi],
-                "hint_color": data.hint_color[pi],
-                "hint_label": data.hint_label[pi],
-                "sentence_mask": data.hint_mask[pi],
-            }
-            pred = refine(
+            pred = fwd.cct(
                 state.params, state.batch_stats,
-                cell_emb[inv[full]], cell_mask[inv[full]], tb,
+                cell_emb[inv[full]], cell_mask[inv[full]],
+                hints[pi], data.hint_mask[pi],
             )
             out[idx] = np.asarray(pred)[: len(idx)]
         elapsed = time.perf_counter() - start

@@ -82,12 +82,19 @@ class CrossMatch(nn.Module):
         obj = self.object_encoder(objects, train=train)        # [B, O, D]
         return l2_normalize(obj)
 
-    def refine(self, obj, obj_mask, text: TextSet, train: bool = False):
-        """Query-dependent half: text encoder + CCT + offsets -> [B, 2]."""
-        hints = self.language_encoder(text, train=train)       # [B, S, D]
+    def encode_hints(self, text: TextSet, train: bool = False):
+        """Per-QUERY half of the text side: [B, S, D] hint encodings.
+
+        A query's hint encodings are shared by all of its K candidate cells;
+        serving/eval encode them once per query instead of once per
+        (query, candidate) pair."""
+        return self.language_encoder(text, train=train)
+
+    def cct(self, obj, obj_mask, hints, sentence_mask, train: bool = False):
+        """Per-PAIR half: cascaded cross-attention + offsets -> [B, 2]."""
         if not self.cfg.mask_padded:
             obj_mask = None
-        hint_mask = text.sentence_mask if self.cfg.mask_padded else None
+        hint_mask = sentence_mask if self.cfg.mask_padded else None
 
         if self.cross_objects is not None:
             for co, ch in zip(self.cross_objects, self.cross_hints):
@@ -99,11 +106,16 @@ class CrossMatch(nn.Module):
             )
 
         if self.cfg.mask_padded:
-            pooled = masked_max(hints, text.sentence_mask, axis=1)  # [B, D]
+            pooled = masked_max(hints, sentence_mask, axis=1)    # [B, D]
         else:
             pooled = jnp.max(hints, axis=1)
         offsets = self.mlp_offsets(pooled.astype(jnp.float32))
         return offsets                                           # [B, 2]
+
+    def refine(self, obj, obj_mask, text: TextSet, train: bool = False):
+        """Query-dependent half: text encoder + CCT + offsets -> [B, 2]."""
+        hints = self.encode_hints(text, train=train)             # [B, S, D]
+        return self.cct(obj, obj_mask, hints, text.sentence_mask, train=train)
 
     def __call__(self, objects: ObjectSet, text: TextSet, train: bool = False):
         """Returns [B, 2] predicted normalized positions."""

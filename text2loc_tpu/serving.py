@@ -93,17 +93,15 @@ class Localizer:
         # (evaluation/pipeline.py:105-126).
         self._fine_emb = self._fine_mask = None
         if precompute_fine:
-            encode_objects, refine = steps_lib.make_fine_split_forwards(
-                fine_model, embedder, cfg
-            )
-            self._fine_refine = refine
+            fwd = steps_lib.make_fine_split_forwards(fine_model, embedder, cfg)
+            self._fine_fwd = fwd
             pad = cfg.model.pad_size
             rows = []
             for s in range(0, data.num_cells, chunk):
                 ids = np.arange(s, min(s + chunk, data.num_cells))
                 full = np.resize(ids, chunk)
                 cb = data.gather_cell_objects(full, pad)
-                e = encode_objects(
+                e = fwd.encode_objects(
                     fine_state.params, fine_state.batch_stats, cb, self._rng
                 )
                 rows.append(np.asarray(e)[: len(ids)])
@@ -141,17 +139,20 @@ class Localizer:
         rep = np.repeat(np.arange(b), k)  # hint rows replicate per candidate
         flat = idx.reshape(-1)
         if self._fine_emb is not None:
-            text_batch = {
-                "hint_dir": batch["hint_dir"][rep],
-                "hint_color": batch["hint_color"][rep],
-                "hint_label": batch["hint_label"][rep],
-            }
-            if sentence_mask is not None:
-                text_batch["sentence_mask"] = batch["sentence_mask"][rep]
+            # Hints encoded once per query, reused across its K candidates.
+            hints = self._fine_fwd.encode_text(
+                self.fine_state.params, self.fine_state.batch_stats, batch
+            )
+            hints = jnp.asarray(hints)[rep]
+            smask = (
+                batch["sentence_mask"][rep]
+                if sentence_mask is not None
+                else np.ones(hints.shape[:2], bool)
+            )
             pred = np.asarray(
-                self._fine_refine(
+                self._fine_fwd.cct(
                     self.fine_state.params, self.fine_state.batch_stats,
-                    self._fine_emb[flat], self._fine_mask[flat], text_batch,
+                    self._fine_emb[flat], self._fine_mask[flat], hints, smask,
                 )
             ).reshape(b, k, 2)
         else:

@@ -207,23 +207,33 @@ def make_fine_forward(model: CrossMatch, embedder: HintTextEmbedder, cfg: Config
     return jax.jit(forward)
 
 
-def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
-                             cfg: Config):
-    """The fine stage split at its query-independence boundary.
+class FineSplitForwards(NamedTuple):
+    """The fine stage split at its reuse boundaries (all jitted):
 
-    Candidate-cell object embeddings are a pure function of the cell (static
-    map data); only the text tower + CCT depend on the query. Production
-    serving and batched evaluation encode each gallery cell ONCE and reuse it
-    across every query/candidate pair — the TPU-first answer to the
-    reference's per-pose recompute loop (evaluation/pipeline.py:105-126).
+    * encode_objects(params, stats, cell_batch, rng) -> [B, O, D] — pure
+      function of the CELL (static map data): computed once per gallery cell.
+    * encode_text(params, stats, text_batch) -> [B, S, D] — pure function of
+      the QUERY: computed once per query, shared by its K candidates.
+    * cct(params, stats, obj_emb, obj_mask, hints, sentence_mask) -> [B, 2]
+      — the only per-(query, candidate)-pair compute.
+    * refine(params, stats, obj_emb, obj_mask, text_batch) -> [B, 2] —
+      encode_text + cct in one program (per-pair text encoding; used where
+      text reuse isn't worth staging).
 
-    Returns (encode_objects, refine):
-        encode_objects(params, batch_stats, cell_batch, rng) -> [B, O, D]
-        refine(params, batch_stats, obj_emb, obj_mask, text_batch) -> [B, 2]
-    Outputs are bit-identical to make_fine_forward's combined program (eval
-    mode BatchNorm uses running statistics, so the split changes nothing).
+    The TPU-first answer to the reference's per-pose recompute loop
+    (evaluation/pipeline.py:105-126); outputs are identical to
+    make_fine_forward's combined program (eval-mode BatchNorm uses running
+    statistics, so splitting changes nothing — oracle-tested).
     """
 
+    encode_objects: Callable
+    encode_text: Callable
+    cct: Callable
+    refine: Callable
+
+
+def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
+                             cfg: Config) -> FineSplitForwards:
     def encode_objects(params, batch_stats, batch, rng):
         xyz, rgb = augment.point_cloud_transform(
             batch["xyz"], batch["rgb"], rng,
@@ -235,17 +245,35 @@ def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
             objects, train=False, method=model.encode_objects,
         )
 
-    def refine(params, batch_stats, obj_emb, obj_mask, batch):
-        text = embedder.embed(
+    def _embed(batch):
+        return embedder.embed(
             batch["hint_dir"], batch["hint_color"], batch["hint_label"],
             sentence_mask=batch.get("sentence_mask"),
         )
+
+    def encode_text(params, batch_stats, batch):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            obj_emb, obj_mask, text, train=False, method=model.refine,
+            _embed(batch), train=False, method=model.encode_hints,
         )
 
-    return jax.jit(encode_objects), jax.jit(refine)
+    def cct(params, batch_stats, obj_emb, obj_mask, hints, sentence_mask):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            obj_emb, obj_mask, hints, sentence_mask, train=False,
+            method=model.cct,
+        )
+
+    def refine(params, batch_stats, obj_emb, obj_mask, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            obj_emb, obj_mask, _embed(batch), train=False, method=model.refine,
+        )
+
+    return FineSplitForwards(
+        jax.jit(encode_objects), jax.jit(encode_text), jax.jit(cct),
+        jax.jit(refine),
+    )
 
 
 def init_train_state(model, optimizer, rng, objects: ObjectSet, text: TextSet,
