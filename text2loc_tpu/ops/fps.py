@@ -50,7 +50,14 @@ def farthest_point_sampling(points: jax.Array, num_samples: int) -> jax.Array:
     ):
         from text2loc_tpu.ops.pallas_fps import farthest_point_sampling_pallas
 
-        return farthest_point_sampling_pallas(points, num_samples, tile_n=tile)
+        # stop_gradient: selection indices are discrete (zero gradient a.e. —
+        # the XLA path's argmax chain likewise carries none), and without it
+        # jax.grad w.r.t. `points` dies inside the Pallas call ("Linearization
+        # failed"): the kernel has no AD rule. Gradients flow through the
+        # subsequent gather of `points`, identically to the XLA path.
+        return farthest_point_sampling_pallas(
+            jax.lax.stop_gradient(points), num_samples, tile_n=tile
+        )
     return _farthest_point_sampling_xla(points, num_samples)
 
 

@@ -187,20 +187,23 @@ def _sa_gather_kernel(feat_ref, ctr_ref, idx_ref, msk_ref, w1_ref, wp_ref,
         idx = idx_ref[g]                            # [S, K] int32 (clamped valid)
         msk = msk_ref[g]                            # [S, K] f32 1/0
 
+        # First layer decomposed AND hoisted to the point level: feat rows
+        # already hold pos_j, so W1([x_j, pos_j - c_i]) = u[j] - c_i @ Wp with
+        # u = feat @ W1 computed ONCE per point ([P, H1], a tiny matmul)
+        # instead of once per edge. The gather then moves u rows — the
+        # one-hot matmul costs the same lane-chunks as gathering raw feat,
+        # and the [S*K, C+3] @ [C+3, H1] per-edge matmul disappears.
+        u = jnp.dot(feat, w1_ref[:], preferred_element_type=jnp.float32)
+        sv = -jnp.dot(ctr, wp_ref[:].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)       # [S, H1]
+
         # One-hot selection [S*K, P] built in VMEM (exact: one unit per row).
         # Built 3-D with the iota on the minor axis, then major dims collapsed
         # — Mosaic rejects reshapes that move a minor dim into sublanes
         # ([S, K] -> [S*K, 1] is an "unsupported shape cast").
         lanes = jax.lax.broadcasted_iota(jnp.int32, (s, k, p), 2)
-        oh = jnp.where(lanes == idx[:, :, None], 1.0, 0.0).astype(feat.dtype)
-        g_feat = jnp.dot(oh.reshape(s * k, p), feat,
-                         preferred_element_type=jnp.float32)    # [S*K, C+3]
-
-        # First layer decomposed: feat rows already hold pos_j, so
-        # W1([x_j, pos_j - c_i]) = g_feat @ W1 - c_i @ Wp.
-        sv = -jnp.dot(ctr, wp_ref[:].astype(jnp.float32),
-                      preferred_element_type=jnp.float32)       # [S, H1]
-        h1 = jnp.dot(g_feat.astype(feat.dtype), w1_ref[:],
+        oh = (lanes == idx[:, :, None]).astype(feat.dtype)
+        h1 = jnp.dot(oh.reshape(s * k, p), u.astype(feat.dtype),
                      preferred_element_type=jnp.float32)        # [S*K, H1]
         h1 = h1.reshape(s, k, -1) + sv[:, None, :]
         h1 = jnp.maximum(h1 * a1[None, None, :] + b1[None, None, :], 0.0)
