@@ -32,6 +32,15 @@ def test_render_cell_topdown(small_data):
     assert img.any()  # something was drawn
 
 
+def test_coarse_cli_reference_attention_flag():
+    """--reference_attention (pool over padded slots like the reference,
+    for converted-checkpoint numerics) runs end to end."""
+    from text2loc_tpu.evaluation.cli import main_coarse
+
+    accs, retrievals = main_coarse(["--synthetic", "--reference_attention"])
+    assert retrievals.ndim == 2
+
+
 def test_render_cell_3d(small_data, tmp_path):
     from text2loc_tpu.evaluation.visualize import render_cell_3d
 

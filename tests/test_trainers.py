@@ -27,6 +27,23 @@ def test_train_coarse_with_checkpointing(small_cfg, small_embedder, small_data, 
     assert os.path.exists(tmp_path / "coarse_metrics.png")
 
 
+def test_trainers_compute_in_train_dtype(small_cfg, small_embedder, small_data):
+    """Trainers must build their models at train_dtype (f32): the bf16
+    backward miscompiles to zero gradients on the remote-TPU stack
+    (BENCHMARKS.md); params are f32 either way, so states stay serving-
+    compatible."""
+    cfg = _small_two_epoch(small_cfg)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, dtype="bfloat16", train_dtype="float32"))
+    state, model, _ = train_coarse(cfg, small_data, None, small_embedder)
+    assert model.cfg.dtype == "float32"
+    import jax
+
+    # All trained params are f32 (loadable into the bf16 serving model).
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == np.float32, leaf.dtype
+
+
 def test_train_fine_runs(small_cfg, small_embedder, small_data):
     cfg = _small_two_epoch(small_cfg)
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, pmc_prob=0.5))
