@@ -205,30 +205,39 @@ def main():
         "sentence_mask": data.hint_mask[:NUM_POSES],
     })
     sent_all = jnp.asarray(data.hint_mask[:NUM_POSES])
-    pair_chunks = [
-        jax.device_put(
-            (
-                cell_emb[cell_idx[i : i + CHUNK]],
-                cell_mask[cell_idx[i : i + CHUNK]],
-                pose_idx[i : i + CHUNK].astype(np.int32),
-            )
-        )
-        for i in range(0, total, CHUNK)
-    ]
+    n_chunks = total // CHUNK
+    emb_all = jax.device_put(
+        cell_emb[cell_idx].reshape(n_chunks, CHUNK, *cell_emb.shape[1:])
+    )
+    mask_all = jax.device_put(
+        cell_mask[cell_idx].reshape(n_chunks, CHUNK, -1)
+    )
+    pid_all = jax.device_put(
+        pose_idx.astype(np.int32).reshape(n_chunks, CHUNK)
+    )
 
+    # One XLA program per epoch (scan over candidate chunks): a serving batch
+    # is a single dispatch, so relay/dispatch overhead doesn't pollute the
+    # per-query cost.
     @jax.jit
-    def cct_chunk(params, batch_stats, emb, mask, hints_all, sent_all, pose_ids):
-        return fwd.cct(    # nested jit inlines
-            params, batch_stats, emb, mask,
-            jnp.take(hints_all, pose_ids, axis=0),
-            jnp.take(sent_all, pose_ids, axis=0),
-        )
+    def serve_epoch_fn(params, batch_stats, text_all, emb_all, mask_all, pid_all):
+        hints_all = fwd.encode_text(params, batch_stats, text_all)
+
+        def body(_, ch):
+            emb, mask, pid = ch
+            out = fwd.cct(    # nested jit inlines
+                params, batch_stats, emb, mask,
+                jnp.take(hints_all, pid, axis=0),
+                jnp.take(sent_all, pid, axis=0),
+            )
+            return None, out
+
+        _, outs = jax.lax.scan(body, None, (emb_all, mask_all, pid_all))
+        return outs
 
     def serve_epoch():
-        hints_all = fwd.encode_text(params, batch_stats, text_all)
-        for e, mk, pid in pair_chunks:
-            out = cct_chunk(params, batch_stats, e, mk, hints_all, sent_all, pid)
-        return out
+        return serve_epoch_fn(params, batch_stats, text_all, emb_all, mask_all,
+                              pid_all)
 
     out = serve_epoch()
     _drain(out)
