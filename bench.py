@@ -186,14 +186,9 @@ def main():
     # (evaluation/pipeline.py:105-126) for an apples-to-apples number.
     fwd = steps_lib.make_fine_split_forwards(model, embedder, cfg)
     _log("precomputing fine gallery (offline stage)")
-    emb_rows = []
-    for s in range(0, data.num_cells, CHUNK):
-        ids = np.resize(np.arange(s, min(s + CHUNK, data.num_cells)), CHUNK)
-        cb = jax.device_put(data.gather_cell_objects(ids, m.pad_size))
-        e = fwd.encode_objects(params, batch_stats, cb, rng)
-        emb_rows.append(np.asarray(e)[: min(CHUNK, data.num_cells - s)])
-    cell_emb = np.concatenate(emb_rows, axis=0)
-    cell_mask = np.asarray(data.obj_mask[:, : m.pad_size])
+    cell_emb, cell_mask = steps_lib.encode_fine_gallery(
+        fwd, data, params, batch_stats, m.pad_size, rng, chunk=CHUNK
+    )
 
     # Per-query work = encode this query's hints ONCE + CCT over its K
     # candidates against cached cell embeddings. Both stay inside the timer;

@@ -191,7 +191,7 @@ def test_short_hint_sets_pad_and_mask(tmp_path):
     objs = _make_objects(rng, 5)
     cell = Cell(0, SCENE, objs, 30.0, np.array([0.0, 0, 0, 30, 30, 30]))
     poses = []
-    for n_hints in (6, 3, 1):
+    for n_hints in (6, 3, 1, 0):
         pose_in_cell = np.array([0.4, 0.6], np.float32)
         pose3 = np.array([0.4, 0.6, 0.0])
         descrs = [_make_descr(objs[j % 5], pose3) for j in range(n_hints)]
@@ -202,6 +202,9 @@ def test_short_hint_sets_pad_and_mask(tmp_path):
     from text2loc_tpu.data.arrays import MultiSceneArrays
 
     data = MultiSceneArrays(convert_base_path(str(tmp_path), [SCENE], store_points=16))
+    # The hint-LESS pose is dropped (it cannot be localized — its masked text
+    # embedding is zero); short hint sets are padded + masked.
+    assert data.num_poses == 3
     np.testing.assert_array_equal(data.hint_mask.sum(axis=1), [6, 3, 1])
     # Padded hint slots carry the pad class and are unmatched.
     pad = ~data.hint_mask

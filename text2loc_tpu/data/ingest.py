@@ -64,6 +64,17 @@ def convert_scene(
 ) -> SceneArrays:
     """Convert one scene's object graph into SceneArrays."""
     rng = np.random.default_rng(seed)
+    # A pose with NO hints cannot be localized (its masked text embedding is
+    # zero, making retrieval an argsort tie-break) — drop it rather than
+    # silently score it. Short-but-nonempty hint lists are padded + masked.
+    kept = [pp for pp in poses if len(pp.descriptions) > 0]
+    if len(kept) < len(poses):
+        print(
+            f"warning: dropping {len(poses) - len(kept)} hint-less pose(s) "
+            f"in {scene_name}",
+            flush=True,
+        )
+    poses = kept
     nc, o, p, s = len(cells), object_slots, store_points, num_mentioned
 
     cell_ids = [c.id for c in cells]
@@ -122,8 +133,6 @@ def convert_scene(
         # conversion; the sentence_mask keeps padded slots out of attention
         # and pooling end to end).
         descrs = pose.descriptions[:s]
-        if not descrs:
-            print(f"warning: pose {pi} in {scene_name} has no hints", flush=True)
         hint_mask[pi, : len(descrs)] = True
         for si, d in enumerate(descrs):
             hint_dir[pi, si] = C.DIRECTION_TO_INDEX[d.direction]

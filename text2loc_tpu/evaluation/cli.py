@@ -77,7 +77,19 @@ def build_argparser():
     ap.add_argument("--text_table", default=None,
                     help="frozen T5 table .npz (scripts/build_t5_table.py); "
                          "default: compositional stand-in")
+    ap.add_argument("--reference_attention", action="store_true",
+                    help="attend/pool over padded slots like the reference "
+                         "(cell_retrieval.py:85-108 zero-pads and max-pools "
+                         "over all slots). Use with converted torch "
+                         "checkpoints for closest-to-original numerics; the "
+                         "TPU-native default masks padding")
     return ap
+
+
+def _apply_model_flags(cfg, args):
+    if getattr(args, "reference_attention", False):
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, mask_padded=False))
+    return cfg
 
 
 def _load(args):
@@ -108,6 +120,7 @@ def main_pipeline(argv=None):
 
     args = build_argparser().parse_args(argv)
     cfg, data = _load(args)
+    cfg = _apply_model_flags(cfg, args)
     cfg, embedder = make_embedder(cfg, args.text_table)
     coarse_model = CellRetrievalNetwork(cfg.model)
     fine_model = CrossMatch(cfg.model)
@@ -139,6 +152,7 @@ def main_coarse(argv=None):
 
     args = build_argparser().parse_args(argv)
     cfg, data = _load(args)
+    cfg = _apply_model_flags(cfg, args)
     cfg, embedder = make_embedder(cfg, args.text_table)
     model = CellRetrievalNetwork(cfg.model)
     state = _init_coarse_state(cfg, model, embedder, data)

@@ -30,6 +30,7 @@ from text2loc_tpu.evaluation.retrieval import eval_retrieval
 from text2loc_tpu.models.text_embedding import HintTextEmbedder
 from text2loc_tpu.training.steps import (
     TrainState,
+    encode_fine_gallery,
     make_fine_forward,
     make_fine_split_forwards,
 )
@@ -106,14 +107,10 @@ def run_fine(
         uniq, inv = np.unique(cell_idx, return_inverse=True)
         start = time.perf_counter()
         # Encode each distinct candidate cell once.
-        emb_rows = []
-        for s in range(0, len(uniq), chunk):
-            ids = np.resize(uniq[s : s + chunk], chunk)
-            cb = data.gather_cell_objects(ids, pad)
-            e = fwd.encode_objects(state.params, state.batch_stats, cb, rng)
-            emb_rows.append(np.asarray(e)[: len(uniq[s : s + chunk])])
-        cell_emb = np.concatenate(emb_rows, axis=0)          # [Cu, pad, D]
-        cell_mask = data.obj_mask[uniq][:, :pad]             # [Cu, pad]
+        cell_emb, cell_mask = encode_fine_gallery(
+            fwd, data, state.params, state.batch_stats, pad, rng,
+            cell_indices=uniq, chunk=chunk,
+        )
         # Encode each pose's hints once (shared by its K candidates).
         hint_rows = []
         for s in range(0, q, chunk):

@@ -63,6 +63,20 @@ def _fused_mode() -> str:
     return "off"
 
 
+def _approx_neighbors(default: bool) -> bool:
+    """TEXT2LOC_APPROX_NEIGHBORS parsing: "0"/"" = exact top_k, "1" = approx.
+
+    The gather inference path defaults to approx (validated accuracy-neutral,
+    scripts/validate_kernels.py); training and the XLA exact path default to
+    exact. The same value convention applies to both (bool("0") pitfalls
+    avoided).
+    """
+    v = os.environ.get("TEXT2LOC_APPROX_NEIGHBORS", "")
+    if v == "":
+        return default
+    return v != "0"
+
+
 class PointNetFeatures(NamedTuple):
     """Mirrors the reference's EasyDict return (pointnet2.py:94-100)."""
 
@@ -146,11 +160,11 @@ class SetAbstraction(nn.Module):
             w0 = kernels[0].astype(self.dtype)
             if mode == "gather":
                 # approx_max_k selection by default: measured identical
-                # retrieval/localization tables AND 100% top-1 agreement with
-                # exact top_k on trained weights (scripts/validate_kernels.py,
-                # BENCHMARKS.md) at ~35% lower selection cost. Set
-                # TEXT2LOC_APPROX_NEIGHBORS=0 to force exact top_k.
-                approx = os.environ.get("TEXT2LOC_APPROX_NEIGHBORS", "1") != "0"
+                # retrieval/localization tables on trained weights
+                # (scripts/validate_kernels.py, BENCHMARKS.md) at ~35% lower
+                # selection cost. Set TEXT2LOC_APPROX_NEIGHBORS=0 for exact
+                # top_k.
+                approx = _approx_neighbors(default=True)
                 nbr_idx, nbr_mask = ball_query_knn(
                     pos, centers, self.radius, self.max_neighbors, approx=approx
                 )
@@ -174,7 +188,7 @@ class SetAbstraction(nn.Module):
             )
             return out, centers
 
-        approx = bool(os.environ.get("TEXT2LOC_APPROX_NEIGHBORS"))
+        approx = _approx_neighbors(default=False)
         nbr_idx, nbr_mask = ball_query_knn(
             pos, centers, self.radius, self.max_neighbors, approx=approx
         )

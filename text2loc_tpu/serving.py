@@ -95,18 +95,10 @@ class Localizer:
         if precompute_fine:
             fwd = steps_lib.make_fine_split_forwards(fine_model, embedder, cfg)
             self._fine_fwd = fwd
-            pad = cfg.model.pad_size
-            rows = []
-            for s in range(0, data.num_cells, chunk):
-                ids = np.arange(s, min(s + chunk, data.num_cells))
-                full = np.resize(ids, chunk)
-                cb = data.gather_cell_objects(full, pad)
-                e = fwd.encode_objects(
-                    fine_state.params, fine_state.batch_stats, cb, self._rng
-                )
-                rows.append(np.asarray(e)[: len(ids)])
-            self._fine_emb = np.concatenate(rows, axis=0)     # [C, pad, D]
-            self._fine_mask = np.asarray(data.obj_mask[:, :pad])
+            self._fine_emb, self._fine_mask = steps_lib.encode_fine_gallery(
+                fwd, data, fine_state.params, fine_state.batch_stats,
+                cfg.model.pad_size, self._rng, chunk=chunk,
+            )
 
     def localize(self, hint_dir: np.ndarray, hint_color: np.ndarray,
                  hint_label: np.ndarray,

@@ -276,6 +276,35 @@ def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
     )
 
 
+def encode_fine_gallery(fwd: FineSplitForwards, data, params, batch_stats,
+                        pad_size: int, rng, cell_indices=None,
+                        chunk: int = 128):
+    """Encode gallery cells' fine object embeddings once, in device chunks.
+
+    Args:
+        cell_indices: which cells to encode (default: the whole gallery).
+    Returns (cell_emb [C, pad, D], cell_mask [C, pad]) as host numpy — the
+    static-map cache shared by serving, evaluation, and bench.
+    """
+    import numpy as np
+
+    ids = (
+        np.arange(data.num_cells)
+        if cell_indices is None
+        else np.asarray(cell_indices)
+    )
+    rows = []
+    for s in range(0, len(ids), chunk):
+        sl = ids[s : s + chunk]
+        full = np.resize(sl, chunk)  # pad the tail by wrapping
+        cb = data.gather_cell_objects(full, pad_size)
+        e = fwd.encode_objects(params, batch_stats, cb, rng)
+        rows.append(np.asarray(e)[: len(sl)])
+    emb = np.concatenate(rows, axis=0)
+    mask = np.asarray(data.obj_mask[ids][:, :pad_size])
+    return emb, mask
+
+
 def init_train_state(model, optimizer, rng, objects: ObjectSet, text: TextSet,
                      method=None) -> TrainState:
     kp, kd = jax.random.split(rng)

@@ -67,9 +67,18 @@ class CheckpointManager:
             if step is None:
                 step = self._mgr.latest_step()
         assert step is not None, f"no checkpoints in {self.directory}"
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(jax.device_get(state_like))
-        )
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(jax.device_get(state_like))
+            )
+        except (ValueError, KeyError) as e:
+            raise ValueError(
+                f"checkpoint at {self.directory} (step {step}) does not match "
+                "the current model's parameter tree. If it predates the "
+                "round-2 explicit submodule names (MLP_0 -> mlp_pointnet/"
+                "color_encoder/pos_encoder/num_encoder/mlp_merge/inter_mlp), "
+                "retrain or rename the keys in the checkpoint tree."
+            ) from e
         return TrainState(*restored)
 
     def latest_step(self) -> Optional[int]:
