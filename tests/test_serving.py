@@ -44,6 +44,22 @@ def test_localizer_roundtrip(small_cfg, small_embedder, small_data):
     assert (np.diff(res.scores, axis=1) <= 1e-6).all()
 
 
+def test_localizer_batch_bucketing(small_cfg, small_embedder, small_data):
+    """Odd batch sizes pad to power-of-two buckets (one compile per bucket)
+    and slice back; results equal the bucket-sized call's prefix."""
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    loc = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3)
+
+    full = loc.localize(data.hint_dir[:8], data.hint_color[:8], data.hint_label[:8])
+    odd = loc.localize(data.hint_dir[:5], data.hint_color[:5], data.hint_label[:5])
+    assert odd.position_w.shape == (5, 2)
+    np.testing.assert_allclose(odd.position_w, full.position_w[:5], atol=1e-5)
+    np.testing.assert_array_equal(odd.cell_indices, full.cell_indices[:5])
+    one = loc.localize(data.hint_dir[:1], data.hint_color[:1], data.hint_label[:1])
+    assert one.position_w.shape == (1, 2)
+
+
 def test_localizer_precomputed_fine_gallery_equals_recompute(
     small_cfg, small_embedder, small_data
 ):

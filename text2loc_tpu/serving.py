@@ -100,6 +100,17 @@ class Localizer:
                 cfg.model.pad_size, self._rng, chunk=chunk,
             )
 
+    @staticmethod
+    def _bucket(b: int) -> int:
+        """Next power-of-two batch bucket: every jitted program is shape-
+        specialized, so unpadded ad-hoc batch sizes would each recompile
+        (minutes over a remote-compile tunnel). Queries are padded up to the
+        bucket and results sliced back."""
+        n = 1
+        while n < b:
+            n *= 2
+        return n
+
     def localize(self, hint_dir: np.ndarray, hint_color: np.ndarray,
                  hint_label: np.ndarray,
                  sentence_mask: Optional[np.ndarray] = None) -> LocalizationResult:
@@ -109,14 +120,25 @@ class Localizer:
         reference loops poses one at a time, pipeline.py:105-126).
         `sentence_mask` ([B, S] bool) marks real hints when a query carries
         fewer than S; padded slots are kept out of attention and pooling.
+        Batches are padded to power-of-two buckets so serving compiles once
+        per bucket, not once per request size.
         """
+        n_real = len(np.asarray(hint_dir))
+        bucket = self._bucket(n_real)
+
+        def pad(a):
+            a = np.asarray(a)
+            return np.concatenate(
+                [a, np.repeat(a[-1:], bucket - n_real, axis=0)], axis=0
+            ) if len(a) < bucket else a
+
         batch = {
-            "hint_dir": np.asarray(hint_dir),
-            "hint_color": np.asarray(hint_color),
-            "hint_label": np.asarray(hint_label),
+            "hint_dir": pad(hint_dir),
+            "hint_color": pad(hint_color),
+            "hint_label": pad(hint_label),
         }
         if sentence_mask is not None:
-            batch["sentence_mask"] = np.asarray(sentence_mask, bool)
+            batch["sentence_mask"] = pad(np.asarray(sentence_mask, bool))
         text_enc = self._encode_text(
             self.coarse_state.params, self.coarse_state.batch_stats, batch
         )
@@ -171,10 +193,10 @@ class Localizer:
         size = self.data.cell_size[idx][..., None]
         cand_w = bbox[..., 0:2] + pred * size            # [B, K, 2]
         return LocalizationResult(
-            position_w=cand_w[:, 0],
-            candidates_w=cand_w,
-            cell_indices=idx,
-            scores=scores,
+            position_w=cand_w[:n_real, 0],
+            candidates_w=cand_w[:n_real],
+            cell_indices=idx[:n_real],
+            scores=scores[:n_real],
         )
 
     def localize_text(self, descriptions) -> LocalizationResult:
