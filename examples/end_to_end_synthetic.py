@@ -77,6 +77,17 @@ def main():
     err = np.linalg.norm(res.position_w - val_data.pose_w[q, :2], axis=1)
     print(f"top-1 localization error for 4 queries: {np.round(err, 1)} m")
 
+    # The free-text front door: raw description strings -> positions.
+    from text2loc_tpu.text import render_description
+
+    query = render_description(
+        val_data.hint_dir[0], val_data.hint_color[0], val_data.hint_label[0]
+    )
+    print(f'query: "{query}"')
+    res = loc.localize_text([query])
+    print(f"-> position {np.round(res.position_w[0], 1)} "
+          f"(gt {np.round(val_data.pose_w[0, :2], 1)})")
+
 
 if __name__ == "__main__":
     main()
