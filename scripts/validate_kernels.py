@@ -142,14 +142,17 @@ def main(argv=None):
     )
     m = cfg.model
 
-    mk = lambda name, cells, poses, seed: make_scene(
+    mk = lambda name, cells, poses, seed, pose_seed=None: make_scene(
         scene_name=name, num_cells=cells, num_poses=poses,
         object_slots=max(m.object_size, m.pad_size),
         num_points=m.pointnet.num_points,
-        num_mentioned=m.num_mentioned, seed=seed,
+        num_mentioned=m.num_mentioned, seed=seed, pose_seed=pose_seed,
     )
     train_data = MultiSceneArrays([mk("0000", 64, 512, 0)])
-    val_data = MultiSceneArrays([mk("0009", 32, 256, 9)])
+    # Held-out split: UNSEEN poses over the SAME trained map (random synthetic
+    # scenes share no cross-scene structure, so an unseen-scene split would
+    # pin recall at chance and mask kernel-mode deltas).
+    val_data = MultiSceneArrays([mk("0000", 64, 256, 0, pose_seed=7)])
 
     for v in _MODE_VARS:
         os.environ.pop(v, None)

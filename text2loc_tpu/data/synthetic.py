@@ -50,7 +50,12 @@ def make_scene(
     cell_size: float = 30.0,
     min_objects: int = 4,
     seed: int = 0,
+    pose_seed=None,
 ) -> SceneArrays:
+    """`pose_seed`: draw the poses (and padding) from a separate stream while
+    keeping the CELLS bit-identical to a call with the same `seed` — a
+    held-out query split over the same map, the synthetic analogue of the
+    reference's unseen-poses evaluation."""
     rng = np.random.default_rng(seed)
     o, p, s = object_slots, num_points, num_mentioned
     n_grid = int(np.ceil(np.sqrt(num_cells)))
@@ -96,6 +101,8 @@ def make_scene(
             )
             obj_mask[ci, oi] = True
 
+    if pose_seed is not None:
+        rng = np.random.default_rng(pose_seed)
     pose_cell_idx = rng.integers(0, num_cells, size=num_poses).astype(np.int32)
     pose_in_cell = rng.uniform(0.1, 0.9, size=(num_poses, 2)).astype(np.float32)
     pose_w = np.zeros((num_poses, 3), np.float32)
