@@ -93,3 +93,23 @@ def test_native_fallbacks_match(tmp_path):
     first[1:] = flat[order][1:] != flat[order][:-1]
     b = np.sort(order[first])
     np.testing.assert_array_equal(a, b)
+
+
+def test_checkify_step_catches_nan_and_passes_clean():
+    """The compiled-mode sanitizer (SURVEY 5.2's checkify equivalent of the
+    reference's always-on autograd anomaly mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2loc_tpu.utils.debug import checkify_step
+
+    def step(x):
+        return jnp.log(x) * 2.0
+
+    checked = checkify_step(step)
+    out = checked(jnp.asarray([1.0, 2.0]))
+    np.testing.assert_allclose(np.asarray(out), np.log([1.0, 2.0]) * 2, rtol=1e-6)
+
+    with pytest.raises(Exception) as exc:
+        checked(jnp.asarray([-1.0, 2.0]))  # log(-1) = NaN
+    assert "nan" in str(exc.value).lower()

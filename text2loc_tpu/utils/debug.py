@@ -20,3 +20,34 @@ def enable_nan_debugging(enable: bool = True) -> None:
 def enable_disable_jit(disable: bool = True) -> None:
     """Run everything op-by-op for printf-style debugging."""
     jax.config.update("jax_disable_jit", disable)
+
+
+def checkify_step(step_fn, errors=None):
+    """Wrap a (jittable) step function with checkify sanitizers.
+
+    The compiled-mode equivalent of the reference's always-on autograd anomaly
+    tracer: float (NaN/inf), index out-of-bounds, and div-by-zero checks run
+    INSIDE the compiled program and surface as Python exceptions with the
+    failing check's provenance — usable where `jax_debug_nans` retracing is
+    too slow (e.g. inside a long-running training loop on a remote chip).
+
+    Returns a wrapped, already-jitted function with the same signature (do
+    not jit it again — the error throw runs host-side):
+
+        step = checkify_step(make_coarse_train_step(...))
+        state, metrics = step(state, batch, rng)   # raises on NaN/OOB
+    """
+    from jax.experimental import checkify
+
+    if errors is None:
+        errors = checkify.float_checks | checkify.index_checks | checkify.div_checks
+    # jit INSIDE the wrapper: err.throw() must run outside staging (a staged
+    # throw cannot be abstractly evaluated).
+    checked = jax.jit(checkify.checkify(step_fn, errors=errors))
+
+    def wrapped(*args, **kwargs):
+        err, out = checked(*args, **kwargs)
+        err.throw()
+        return out
+
+    return wrapped
