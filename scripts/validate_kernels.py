@@ -97,6 +97,8 @@ MODES = {
     # The TPU inference default: gather kernel + approx_max_k selection.
     "gather_approx": {"TEXT2LOC_FUSED_SA": "gather",
                       "TEXT2LOC_APPROX_NEIGHBORS": "1"},
+    # Fully-fused kernel: in-kernel bisection selection + compaction gather.
+    "fused_full": {"TEXT2LOC_FUSED_SA": "full"},
     "fused_all": {"TEXT2LOC_FUSED_SA": "all"},
     "fused_exact": {"TEXT2LOC_FUSED_SA": "1"},
     "approx_knn": {"TEXT2LOC_FUSED_SA": "off",

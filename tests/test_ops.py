@@ -81,3 +81,26 @@ def test_masked_reductions():
     sm = np.asarray(masked_softmax(x, mask, axis=1))
     np.testing.assert_allclose(sm.sum(axis=1), [1.0, 0.0], atol=1e-6)
     assert sm[0, 1] == 0.0
+
+
+def test_fps_ladder_prefix_property():
+    """fps(fps(pts, S1), S2) == fps(pts, S1)[:S2] bit-exactly — the property
+    PointNet2 relies on to run ONE FPS pass per object instead of one per SA
+    level (farthest-first traversal is greedy and prefix-stable; tie-breaks
+    follow stored order, which is traversal order in both)."""
+    import numpy as np
+
+    from text2loc_tpu.ops.fps import fps_gather
+
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.random((8, 128, 3)) * 2 - 1, jnp.float32)
+    c1, _, _ = fps_gather(pos, None, 64)
+    c2, _, _ = fps_gather(c1, None, 32)
+    c3, _, _ = fps_gather(c2, None, 16)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1[:, :32]))
+    np.testing.assert_array_equal(np.asarray(c3), np.asarray(c1[:, :16]))
+    # Duplicate points stress the tie-breaking half of the argument.
+    pos2 = jnp.concatenate([pos[:, :64], pos[:, :64]], axis=1)
+    d1, _, _ = fps_gather(pos2, None, 64)
+    d2, _, _ = fps_gather(d1, None, 32)
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1[:, :32]))

@@ -132,3 +132,77 @@ def test_pallas_gather_bit_equal():
     want = np.asarray(jnp.take_along_axis(vals, idx[:, :, None], axis=1))
     got = np.asarray(gather_rows_pallas(vals, idx, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_sa_select_matches_xla():
+    """Fully-fused kernel (in-kernel bisection selection + compaction gather,
+    interpret mode) vs the XLA path: for generic (tie-free) point sets the
+    threshold selection recovers exactly the K-nearest-in-radius set, so only
+    first-layer decomposition rounding differs."""
+    import functools
+
+    import jax
+
+    from text2loc_tpu.models.pointnet2 import SetAbstraction
+
+    rng = np.random.default_rng(7)
+    n, p, c = 8, 32, 5
+    x = jnp.asarray(rng.random((n, p, c)), jnp.float32)
+    pos = jnp.asarray(rng.random((n, p, 3)), jnp.float32)
+
+    def build(fused):
+        return SetAbstraction(
+            num_samples=16, radius=0.4, mlp_channels=(c + 3, 16, 24),
+            max_neighbors=8, fused=fused, fused_interpret=True,
+        )
+
+    ref_mod = build(False)
+    variables = jax.jit(functools.partial(ref_mod.init, train=False))(
+        jax.random.PRNGKey(2), x, pos
+    )
+    stats = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.arange(a.shape[0], dtype=np.float32) / a.shape[0],
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want, want_ctr = ref_mod.apply(variables, x, pos, train=False)
+    got, got_ctr = build("full").apply(variables, x, pos, train=False)
+
+    np.testing.assert_array_equal(np.asarray(want_ctr), np.asarray(got_ctr))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_fused_sa_select_duplicate_points():
+    """Degenerate tie cases (duplicated points, fewer in-radius than K) must
+    keep <=K in-radius neighbors and at least the center itself — the
+    reference's own neighborhoods are arbitrary <=K in-radius subsets."""
+    import functools
+
+    import jax
+
+    from text2loc_tpu.models.pointnet2 import SetAbstraction
+
+    n, p, c = 2, 16, 5
+    # Cloud 0: all points identical (every distance ties at 0).
+    # Cloud 1: two tight clusters further apart than the radius.
+    pos = np.zeros((n, p, 3), np.float32)
+    pos[1, : p // 2] = 0.0
+    pos[1, p // 2 :] = 10.0
+    x = np.tile(np.linspace(0, 1, c, dtype=np.float32), (n, p, 1))
+
+    mod = SetAbstraction(
+        num_samples=4, radius=0.4, mlp_channels=(c + 3, 16, 24),
+        max_neighbors=8, fused="full", fused_interpret=True,
+    )
+    variables = jax.jit(functools.partial(mod.init, train=False))(
+        jax.random.PRNGKey(3), jnp.asarray(x), jnp.asarray(pos)
+    )
+    out, _ = mod.apply(variables, jnp.asarray(x), jnp.asarray(pos), train=False)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    # Identical inputs per cloud -> identical pooled features per center.
+    np.testing.assert_allclose(out[0], np.broadcast_to(out[0, :1], out[0].shape),
+                               rtol=1e-5, atol=1e-6)

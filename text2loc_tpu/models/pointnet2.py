@@ -36,18 +36,22 @@ from text2loc_tpu.ops.masked import masked_max
 from text2loc_tpu.ops.pallas_pointconv import (
     fold_bn_affine,
     fused_sa_gather,
+    fused_sa_select,
     fused_set_abstraction,
 )
 
 
 def _fused_mode() -> str:
-    """"off" | "exact" | "all" | "gather" (env TEXT2LOC_FUSED_SA).
+    """"off" | "exact" | "all" | "gather" | "full" (env TEXT2LOC_FUSED_SA).
 
-    "gather" (the TPU inference default): neighbor selection runs OUTSIDE on
-    the MXU (ball_query_knn — identical neighborhoods to the XLA path) and the
-    fused kernel gathers the K selected neighbors via a one-hot matmul that
-    never leaves VMEM. "exact" replicates K-nearest selection in-kernel
-    (measured slower: sequential argmin rounds). "all" aggregates over ALL
+    "full" (the TPU inference default): the ENTIRE level — distances,
+    K-nearest-in-radius selection (bisection on the distance threshold),
+    compaction gather and edge MLP — runs on the tile; no HBM distance
+    tensor and no top_k anywhere. "gather": neighbor selection runs OUTSIDE
+    on the MXU (ball_query_knn — identical neighborhoods to the XLA path)
+    and the fused kernel gathers the K selected neighbors via a one-hot
+    matmul that never leaves VMEM. "exact" replicates K-nearest selection
+    in-kernel via argmin rounds (measured slower). "all" aggregates over ALL
     in-radius neighbors — a deterministic superset of the reference's
     arbitrary <=K subset. Accuracy deltas for all modes measured in
     BENCHMARKS.md (scripts/validate_kernels.py)."""
@@ -58,7 +62,7 @@ def _fused_mode() -> str:
     v = os.environ.get("TEXT2LOC_FUSED_SA", "gather")
     if v == "1":
         return "exact"
-    if v in ("all", "gather", "off"):
+    if v in ("all", "gather", "full", "off"):
         return v
     return "off"
 
@@ -114,8 +118,12 @@ class SetAbstraction(nn.Module):
     bn_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x, pos, obj_mask=None, train: bool = False):
-        """x: [N, P, C]; pos: [N, P, 3]; obj_mask: [N] real-object flags."""
+    def __call__(self, x, pos, obj_mask=None, train: bool = False,
+                 centers=None):
+        """x: [N, P, C]; pos: [N, P, 3]; obj_mask: [N] real-object flags.
+
+        `centers`: optional precomputed [N, num_samples, 3] FPS centers
+        (PointNet2 passes ladder prefixes — see its docstring)."""
         ch = tuple(self.mlp_channels)
         assert len(ch) == 3, "SA levels are two-layer MLPs (reference ladder)"
         cin, h1, h2 = ch
@@ -144,7 +152,11 @@ class SetAbstraction(nn.Module):
                 "batch_stats", f"bn_{l}_var", lambda co=co: jnp.ones((co,), jnp.float32)
             ))
 
-        centers, _, _ = fps_gather(pos, None, self.num_samples)
+        if centers is None:
+            centers, _, _ = fps_gather(pos, None, self.num_samples)
+        else:
+            assert centers.shape[1] == self.num_samples, (
+                centers.shape, self.num_samples)
 
         mode = self.fused if self.fused is not None else _fused_mode()
         if isinstance(mode, bool):  # convenience: True == "exact"
@@ -158,6 +170,21 @@ class SetAbstraction(nn.Module):
                 for l in range(2)
             ]
             w0 = kernels[0].astype(self.dtype)
+            if mode == "full":
+                feat = jnp.concatenate(
+                    [x.astype(self.dtype), pos.astype(self.dtype)], axis=-1
+                )
+                out = fused_sa_select(
+                    feat, pos, centers,
+                    w0, w0[c:], ab[0],
+                    kernels[1].astype(self.dtype), ab[1],
+                    radius=self.radius, k=self.max_neighbors,
+                    interpret=self.fused_interpret,
+                    bisect_iters=int(
+                        os.environ.get("TEXT2LOC_BISECT_ITERS", "12")
+                    ),
+                )
+                return out, centers
             if mode == "gather":
                 # approx_max_k selection by default: measured identical
                 # retrieval/localization tables on trained weights
@@ -267,7 +294,27 @@ class PointNet2(nn.Module):
     def __call__(self, xyz, rgb, obj_mask=None, train: bool = False) -> PointNetFeatures:
         c = self.cfg
         x, pos = rgb.astype(self.dtype), xyz
+
+        # FPS ladder prefix property: farthest-first traversal is greedy and
+        # prefix-stable, so fps(fps(pts, S1), S2) == fps(pts, S1)[:S2]
+        # BIT-EXACTLY when S2 <= S1 and the start point is shared (round i's
+        # winner maximizes min-dist over the FULL candidate set, hence also
+        # over any later-level subset; tie-breaks follow stored order, which
+        # is traversal order in both). One FPS pass per object replaces one
+        # per SA level (the reference re-runs gnn.fps per level,
+        # models/pointcloud/pointnet2.py:26).
+        ladder = list(c.sa_num_points)
+        prefix_ok = all(
+            ladder[i + 1] <= ladder[i] for i in range(len(ladder) - 1)
+        )
+        centers_all = None
+        if prefix_ok and ladder:
+            centers_all, _, _ = fps_gather(pos, None, ladder[0])
+
         for i in range(len(c.sa_num_points)):
+            centers_i = (
+                centers_all[:, : ladder[i]] if centers_all is not None else None
+            )
             x, pos = SetAbstraction(
                 num_samples=c.sa_num_points[i],
                 radius=c.sa_radii[i],
@@ -277,7 +324,7 @@ class PointNet2(nn.Module):
                 fused=self.fused,
                 fused_interpret=self.fused_interpret,
                 name=f"sa{i + 1}",
-            )(x, pos, obj_mask=obj_mask, train=train)
+            )(x, pos, obj_mask=obj_mask, train=train, centers=centers_i)
 
         features0 = GlobalAbstraction(
             mlp_channels=c.global_mlp, dtype=self.dtype, name="ga"
