@@ -59,7 +59,7 @@ def _fused_mode() -> str:
         "TEXT2LOC_DISABLE_PALLAS"
     ):
         return "off"
-    v = os.environ.get("TEXT2LOC_FUSED_SA", "gather")
+    v = os.environ.get("TEXT2LOC_FUSED_SA", "full")
     if v == "1":
         return "exact"
     if v in ("all", "gather", "full", "off"):
