@@ -237,6 +237,19 @@ def main():
     out = serve_epoch()
     _drain(out)
     _log("compiled production path; timing")
+    serve_flops = None
+    try:
+        scost = (
+            serve_epoch_fn.lower(params, batch_stats, text_all, emb_all,
+                                 mask_all, pid_all)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(scost, (list, tuple)):
+            scost = scost[0]
+        serve_flops = float(scost.get("flops", 0.0)) or None
+    except Exception as e:
+        _log(f"production cost_analysis unavailable: {e}")
     group = 10  # epochs per timed group (amortizes the ~30 ms drain)
     serve_groups = []
     for _ in range(ITERS):
@@ -266,6 +279,10 @@ def main():
         achieved = flops_per_chunk * len(chunks) / raw_elapsed
         result["raw_tflops"] = round(achieved / 1e12, 2)
         result["raw_mfu"] = round(achieved / V5E_PEAK_FLOPS, 4)
+    if serve_flops:
+        s_achieved = serve_flops * qps / NUM_POSES  # flops/epoch * epochs/s
+        result["prod_tflops"] = round(s_achieved / 1e12, 2)
+        result["prod_mfu"] = round(s_achieved / V5E_PEAK_FLOPS, 4)
     print(json.dumps(result))
 
 

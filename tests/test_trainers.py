@@ -86,3 +86,62 @@ def test_train_coarse_resume(small_cfg, small_embedder, small_data, tmp_path):
     # Resumed run trains only the remaining epoch.
     assert len(logger.history["loss"]) == 1
     assert int(state.step) >= 1
+
+
+def test_mixed_precision_body_dtype_learns():
+    """body_dtype="bfloat16" (mixed-precision training: bf16 object body,
+    f32 tail — ModelConfig.body_dtype) must produce finite, NONZERO gradients
+    and a decreasing loss on CPU. The on-chip speed/learning A/B lives in
+    scripts/probe_mixed_train.py (results in BENCHMARKS.md)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from text2loc_tpu.config import small_test_config
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+    from text2loc_tpu.data.synthetic import make_scene
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+    from text2loc_tpu.training import steps as steps_lib
+
+    cfg = small_test_config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, dtype="float32",
+                                  body_dtype="bfloat16")
+    )
+    data = MultiSceneArrays([
+        make_scene("0000", num_cells=6, num_poses=16,
+                   object_slots=cfg.model.object_size,
+                   num_points=cfg.model.pointnet.num_points,
+                   num_mentioned=cfg.model.num_mentioned, seed=0)
+    ])
+    model = CellRetrievalNetwork(cfg.model)
+    embedder = HintTextEmbedder.compositional(
+        cfg.model.text_embed_dim, cfg.model.max_hint_tokens
+    )
+    rng = jax.random.PRNGKey(0)
+    opt = steps_lib.make_optimizer(cfg, steps_per_epoch=4)
+    b = data.gather_coarse(np.arange(cfg.train.batch_size),
+                           cfg.model.object_size)
+    objects, text = steps_lib.prepare_coarse_batch(b, embedder, cfg, rng,
+                                                   train=False)
+    state = steps_lib.init_train_state(model, opt, rng, objects, text)
+    step = jax.jit(steps_lib.make_coarse_train_step(model, embedder, cfg, opt))
+
+    p0 = jax.tree_util.tree_map(lambda a: np.asarray(a), state.params)
+    losses = []
+    for i in range(6):
+        state, m = step(state, b, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
+    # The POINTNET body's params must have moved (nonzero grads through the
+    # bf16 body — the failure mode the full-bf16 stack exhibits is exactly
+    # zero updates).
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(b) - a).max()), p0, state.params
+    )
+    flat = jax.tree_util.tree_flatten_with_path(moved)[0]
+    pn_moves = [v for k, v in flat if "pointnet" in jax.tree_util.keystr(k)]
+    assert pn_moves and max(pn_moves) > 0.0, "pointnet params did not move"

@@ -81,6 +81,14 @@ class ModelConfig:
     # BENCHMARKS.md "bf16 training" note. Parameters are f32 either way, so
     # checkpoints interoperate between train (f32) and serving (bf16) models.
     train_dtype: str = "float32"
+    # Optional compute dtype for the OBJECT BODY (ObjectEncoder + PointNet)
+    # only; None = use `dtype`. The bf16 miscompile above lives in the
+    # transformer tail, so `body_dtype="bfloat16"` + `dtype="float32"` gives
+    # mixed-precision TRAINING: the FLOP-heavy point backbone runs bf16 while
+    # the tail (and its backward) stays f32. Activations are cast to `dtype`
+    # at the body/tail boundary. Validated on-chip in
+    # scripts/probe_mixed_train.py (see BENCHMARKS.md).
+    body_dtype: Optional[str] = None
 
     pointnet: PointNetConfig = field(default_factory=PointNetConfig)
 

@@ -34,8 +34,9 @@ class CellRetrievalNetwork(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         self.embed_dim = cfg.coarse_embed_dim
+        body_dtype = jnp.dtype(cfg.body_dtype) if cfg.body_dtype else dtype
         self.object_encoder = ObjectEncoder(
-            embed_dim=cfg.coarse_embed_dim, cfg=cfg, dtype=dtype
+            embed_dim=cfg.coarse_embed_dim, cfg=cfg, dtype=body_dtype
         )
         self.obj_inter = [
             TorchEncoderLayer(
@@ -66,6 +67,10 @@ class CellRetrievalNetwork(nn.Module):
 
     def encode_objects(self, objects: ObjectSet, train: bool = False) -> jnp.ndarray:
         x = self.object_encoder(objects, train=train)        # [B, O, D]
+        # Body/tail boundary: under mixed-precision training (body bf16,
+        # tail f32 — see ModelConfig.body_dtype) cast up here so the
+        # transformer tail and its backward run in the tail dtype.
+        x = x.astype(jnp.dtype(self.cfg.dtype))
         x = l2_normalize(x)
         if self.cfg.mask_padded:
             x = jnp.where(objects.mask[:, :, None], x, 0.0)  # zero pad slots (:85)

@@ -38,8 +38,9 @@ class CrossMatch(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         self.embed_dim = cfg.fine_embed_dim
+        body_dtype = jnp.dtype(cfg.body_dtype) if cfg.body_dtype else dtype
         self.object_encoder = ObjectEncoder(
-            embed_dim=cfg.fine_embed_dim, cfg=cfg, dtype=dtype
+            embed_dim=cfg.fine_embed_dim, cfg=cfg, dtype=body_dtype
         )
         self.language_encoder = LanguageEncoder(
             embed_dim=cfg.fine_embed_dim,
@@ -80,7 +81,8 @@ class CrossMatch(nn.Module):
         reference re-encoding every candidate inside its per-pose loop
         (evaluation/pipeline.py:105-126)."""
         obj = self.object_encoder(objects, train=train)        # [B, O, D]
-        return l2_normalize(obj)
+        # Body/tail boundary cast (see ModelConfig.body_dtype).
+        return l2_normalize(obj.astype(jnp.dtype(self.cfg.dtype)))
 
     def encode_hints(self, text: TextSet, train: bool = False):
         """Per-QUERY half of the text side: [B, S, D] hint encodings.

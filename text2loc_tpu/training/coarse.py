@@ -182,6 +182,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--text_table", default=None,
                     help="frozen T5 table .npz (scripts/build_t5_table.py); "
                          "default: compositional stand-in")
+    ap.add_argument("--body_dtype", default=None,
+                    choices=("float32", "bfloat16"),
+                    help="mixed-precision training: compute dtype of the "
+                         "ObjectEncoder/PointNet body (tail stays f32 — the "
+                         "full-bf16 backward miscompiles on this stack, "
+                         "BENCHMARKS.md). bfloat16 measured 1.36x faster "
+                         "per coarse step, equal learning "
+                         "(scripts/probe_mixed_train.py)")
     return ap
 
 
@@ -191,7 +199,12 @@ def _apply_overrides(cfg: Config, args) -> Config:
         v = getattr(args, name)
         if v is not None:
             train = dataclasses.replace(train, **{name: v})
-    return cfg.replace(train=train)
+    cfg = cfg.replace(train=train)
+    if getattr(args, "body_dtype", None):
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, body_dtype=args.body_dtype)
+        )
+    return cfg
 
 
 def _load_data(cfg: Config, args):
