@@ -40,11 +40,11 @@ V5E_PEAK_FLOPS = 197e12         # TPU v5e bf16 peak per chip
 NUM_POSES = 256
 TOP_K = 10
 ITERS = 3
-# Flattened candidates per device batch. Memory-bound: each chunk holds
-# CHUNK x pad_size point clouds through the PointNet SA levels; the SA1 edge
-# tensor is CHUNK*16*128*32*64 activations (~2 GB fp32 at 128), so 128 keeps
-# headroom in 16 GB HBM while saturating the MXU.
-CHUNK = 128
+# Flattened candidates per device batch on the raw (recompute) path. The
+# historical bound was the XLA path's HBM edge tensors (CHUNK*16 clouds
+# through the SA levels, ~2 GB fp32 at 128); the fully-fused kernel keeps
+# edges in VMEM so larger chunks are safe — BENCH_CHUNK overrides.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "128"))
 
 
 def main():
@@ -200,35 +200,25 @@ def main():
         "sentence_mask": data.hint_mask[:NUM_POSES],
     })
     sent_all = jnp.asarray(data.hint_mask[:NUM_POSES])
-    n_chunks = total // CHUNK
-    emb_all = jax.device_put(
-        cell_emb[cell_idx].reshape(n_chunks, CHUNK, *cell_emb.shape[1:])
-    )
-    mask_all = jax.device_put(
-        cell_mask[cell_idx].reshape(n_chunks, CHUNK, -1)
-    )
-    pid_all = jax.device_put(
-        pose_idx.astype(np.int32).reshape(n_chunks, CHUNK)
-    )
+    # The cached path has no PointNet, so the CHUNK memory bound (SA edge
+    # activations) does not apply: all Q*K pairs run as ONE flattened CCT
+    # batch per epoch — exactly serving.Localizer.localize's shape. (A
+    # 20-step lax.scan of 128-pair chunks measured 21.8k q/s; the single
+    # batch removes the sequential dependency between chunks.)
+    emb_all = jax.device_put(cell_emb[cell_idx])          # [Q*K, O, D]
+    mask_all = jax.device_put(cell_mask[cell_idx])        # [Q*K, O]
+    pid_all = jax.device_put(pose_idx.astype(np.int32))   # [Q*K]
 
-    # One XLA program per epoch (scan over candidate chunks): a serving batch
-    # is a single dispatch, so relay/dispatch overhead doesn't pollute the
-    # per-query cost.
+    # One XLA program per epoch: a serving batch is a single dispatch, so
+    # relay/dispatch overhead doesn't pollute the per-query cost.
     @jax.jit
     def serve_epoch_fn(params, batch_stats, text_all, emb_all, mask_all, pid_all):
         hints_all = fwd.encode_text(params, batch_stats, text_all)
-
-        def body(_, ch):
-            emb, mask, pid = ch
-            out = fwd.cct(    # nested jit inlines
-                params, batch_stats, emb, mask,
-                jnp.take(hints_all, pid, axis=0),
-                jnp.take(sent_all, pid, axis=0),
-            )
-            return None, out
-
-        _, outs = jax.lax.scan(body, None, (emb_all, mask_all, pid_all))
-        return outs
+        return fwd.cct(    # nested jit inlines
+            params, batch_stats, emb_all, mask_all,
+            jnp.take(hints_all, pid_all, axis=0),
+            jnp.take(sent_all, pid_all, axis=0),
+        )
 
     def serve_epoch():
         return serve_epoch_fn(params, batch_stats, text_all, emb_all, mask_all,
