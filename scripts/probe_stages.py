@@ -75,7 +75,12 @@ def select_all(pos, approx):
     return outs
 
 
-timeit("fps x3", fps_all, xyz)
+from text2loc_tpu.ops.pallas_fps import farthest_point_sampling_pallas
+
+for tile in (64, 128, 256):
+    f = jax.jit(functools.partial(
+        farthest_point_sampling_pallas, num_samples=128, tile_n=tile))
+    timeit(f"fps(256->128) tile={tile}", f, xyz)
 timeit("fps + select(approx) x3", lambda p: select_all(p, True), xyz)
 timeit("fps + select(exact) x3", lambda p: select_all(p, False), xyz)
 

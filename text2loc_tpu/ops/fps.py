@@ -26,8 +26,13 @@ import jax.numpy as jnp
 
 
 def _pallas_tile(n: int) -> int:
-    """Largest power-of-two tile <= 64 dividing n (0 if below min sublane)."""
-    tile = math.gcd(n, 64)
+    """Largest power-of-two tile <= cap dividing n (0 if below min sublane).
+
+    Tile-size sweep on chip (scripts/probe_stages.py): 64 fastest at serving
+    batch sizes (4.42 ms vs 4.78 at 128/256 for one 2048x256->128 pass);
+    TEXT2LOC_FPS_TILE overrides."""
+    cap = int(os.environ.get("TEXT2LOC_FPS_TILE", "64"))
+    tile = math.gcd(n, cap)
     return tile if tile >= 8 else 0
 
 
