@@ -99,6 +99,8 @@ MODES = {
                       "TEXT2LOC_APPROX_NEIGHBORS": "1"},
     # Fully-fused kernel: in-kernel bisection selection + compaction gather.
     "fused_full": {"TEXT2LOC_FUSED_SA": "full"},
+    # Per-level strategy: full at SA1/SA2, all-pairs at SA3 (probe_levels.py).
+    "fused_mixed": {"TEXT2LOC_FUSED_SA": "full,full,all"},
     "fused_all": {"TEXT2LOC_FUSED_SA": "all"},
     "fused_exact": {"TEXT2LOC_FUSED_SA": "1"},
     "approx_knn": {"TEXT2LOC_FUSED_SA": "off",

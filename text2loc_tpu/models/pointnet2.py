@@ -67,6 +67,25 @@ def _fused_mode() -> str:
     return "off"
 
 
+def _fused_mode_list(n_levels: int) -> list:
+    """Per-SA-level fused modes. TEXT2LOC_FUSED_SA also accepts a comma list
+    ("full,full,all") — per-level strategy selection: at SA3's small shapes
+    (64 pts -> 32 centers) all-pairs aggregation beats compaction gather
+    (scripts/probe_levels.py). A single mode applies to every level."""
+    v = os.environ.get("TEXT2LOC_FUSED_SA", "full")
+    if "," in v:
+        if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
+            "TEXT2LOC_DISABLE_PALLAS"
+        ):
+            return ["off"] * n_levels
+        modes = [s.strip() for s in v.split(",")]
+        assert len(modes) == n_levels, (modes, n_levels)
+        assert all(s in ("all", "gather", "full", "off", "exact")
+                   for s in modes), modes
+        return modes
+    return [_fused_mode()] * n_levels
+
+
 def _approx_neighbors(default: bool) -> bool:
     """TEXT2LOC_APPROX_NEIGHBORS parsing: "0"/"" = exact top_k, "1" = approx.
 
@@ -311,6 +330,11 @@ class PointNet2(nn.Module):
         if prefix_ok and ladder:
             centers_all, _, _ = fps_gather(pos, None, ladder[0])
 
+        modes = (
+            _fused_mode_list(len(c.sa_num_points))
+            if self.fused is None
+            else [self.fused] * len(c.sa_num_points)
+        )
         for i in range(len(c.sa_num_points)):
             centers_i = (
                 centers_all[:, : ladder[i]] if centers_all is not None else None
@@ -321,7 +345,7 @@ class PointNet2(nn.Module):
                 mlp_channels=c.sa_mlps[i],
                 max_neighbors=c.sa_max_neighbors,
                 dtype=self.dtype,
-                fused=self.fused,
+                fused=modes[i],
                 fused_interpret=self.fused_interpret,
                 name=f"sa{i + 1}",
             )(x, pos, obj_mask=obj_mask, train=train, centers=centers_i)
