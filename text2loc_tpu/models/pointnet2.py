@@ -69,10 +69,15 @@ def _fused_mode() -> str:
 
 def _fused_mode_list(n_levels: int) -> list:
     """Per-SA-level fused modes. TEXT2LOC_FUSED_SA also accepts a comma list
-    ("full,full,all") — per-level strategy selection: at SA3's small shapes
-    (64 pts -> 32 centers) all-pairs aggregation beats compaction gather
-    (scripts/probe_levels.py). A single mode applies to every level."""
-    v = os.environ.get("TEXT2LOC_FUSED_SA", "full")
+    — per-level strategy selection: at SA3's small shapes (64 pts -> 32
+    centers) all-pairs aggregation beats compaction gather
+    (scripts/probe_levels.py). The TPU default is "full,full,all" for the
+    reference's 3-level ladder (validated accuracy-neutral,
+    kernel_validation.json `fused_mixed`; raw fine stage 421 -> 456 q/s). A
+    single mode applies to every level; non-3-level ladders fall back to
+    "full" everywhere."""
+    default = "full,full,all" if n_levels == 3 else "full"
+    v = os.environ.get("TEXT2LOC_FUSED_SA", default)
     if "," in v:
         if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
             "TEXT2LOC_DISABLE_PALLAS"
