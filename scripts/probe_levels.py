@@ -71,6 +71,7 @@ for name, p, s, c, h1, h2, r in LEVELS:
         fused_sa_select, radius=r, k=K, bisect_iters=12))
     timeit(f"{name} full(it12)", f_full, feat, pos, ctr, w1, wp, ab1, w2, ab2)
 
+
     f_all = jax.jit(functools.partial(
         fused_set_abstraction, radius=r, k=K, select_k=False))
     timeit(f"{name} all", f_all, x, pos, ctr, w1[:c], wp, ab1, w2, ab2)
