@@ -206,3 +206,59 @@ def test_fused_sa_select_duplicate_points():
     # Identical inputs per cloud -> identical pooled features per center.
     np.testing.assert_allclose(out[0], np.broadcast_to(out[0, :1], out[0].shape),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_sa_select_nonzero_tied_distances():
+    """MORE than K in-radius points at a bit-identical NONZERO distance —
+    routine on voxel-quantized clouds. Bisection converges strictly below the
+    tied value; the tie-expansion step must still keep min(K, in-radius)
+    neighbors (any K of the tied points — reference neighborhoods are
+    arbitrary <=K in-radius subsets), not collapse the neighborhood to just
+    the strictly-nearer points."""
+    import functools
+
+    import jax
+    import numpy as np
+
+    from text2loc_tpu.models.pointnet2 import SetAbstraction
+
+    n, p, c, k = 1, 32, 5, 8
+    # Center at origin; 2 strictly-nearer points; 29 points tied at the SAME
+    # nonzero distance 0.2 (a ring, all within radius 0.4).
+    pos = np.zeros((n, p, 3), np.float32)
+    pos[0, 1] = [0.01, 0, 0]
+    pos[0, 2] = [0, 0.01, 0]
+    ang = np.linspace(0, 2 * np.pi, p - 3, endpoint=False)
+    pos[0, 3:, 0] = 0.2 * np.cos(ang)
+    pos[0, 3:, 1] = 0.2 * np.sin(ang)
+    d = np.linalg.norm(pos[0, 3:, :2], axis=-1)
+    pos[0, 3:, :2] *= (0.2 / d)[:, None]
+
+    # All ring points share ONE feature row: any K-subset of the tied ring
+    # max-pools identically, so the assertion is robust to which tied points
+    # each selection method keeps.
+    rng = np.random.default_rng(5)
+    x = rng.random((n, p, c)).astype(np.float32)
+    x[0, 3:] = x[0, 3]
+    x = jnp.asarray(x)
+    posj = jnp.asarray(pos)
+
+    def build(fused):
+        return SetAbstraction(
+            num_samples=1, radius=0.4, mlp_channels=(c + 3, 16, 24),
+            max_neighbors=k, fused=fused, fused_interpret=True,
+        )
+
+    mod_full = build("full")
+    variables = jax.jit(functools.partial(mod_full.init, train=False))(
+        jax.random.PRNGKey(4), x, posj
+    )
+    got, _ = mod_full.apply(variables, x, posj, train=False)
+    want, _ = build(False).apply(variables, x, posj, train=False)
+    # Without tie expansion the full kernel keeps only the 3 strictly-nearer
+    # points (self + 2 near) and drops the entire tied ring, so this equality
+    # fails; with it, both paths pool over {self, 2 near, 5 ring} and the
+    # interchangeable ring features make the pooled outputs equal.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )

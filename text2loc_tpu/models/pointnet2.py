@@ -83,10 +83,17 @@ def _fused_mode_list(n_levels: int) -> list:
             "TEXT2LOC_DISABLE_PALLAS"
         ):
             return ["off"] * n_levels
-        modes = [s.strip() for s in v.split(",")]
-        assert len(modes) == n_levels, (modes, n_levels)
-        assert all(s in ("all", "gather", "full", "off", "exact")
-                   for s in modes), modes
+        modes = ["exact" if s.strip() == "1" else s.strip()
+                 for s in v.split(",")]
+        if len(modes) != n_levels:
+            raise ValueError(
+                f"TEXT2LOC_FUSED_SA={v!r}: expected {n_levels} comma-separated "
+                f"modes (one per SA level), got {len(modes)}"
+            )
+        bad = [s for s in modes
+               if s not in ("all", "gather", "full", "off", "exact")]
+        if bad:
+            raise ValueError(f"TEXT2LOC_FUSED_SA={v!r}: unknown mode(s) {bad}")
         return modes
     return [_fused_mode()] * n_levels
 

@@ -159,6 +159,32 @@ def fused_set_abstraction(
     )(x, pos, centers, wx, wp, ab1, w2, ab2)
 
 
+def _gather_mlp_pool(oh, u, sv, valid, w2_ref, a1, b1, a2, b2, out_dtype):
+    """Shared tail of the gather/select kernels: one-hot gather of the
+    hoisted first-layer rows + folded-BN edge MLP + masked neighbor max.
+
+    oh: [S, K, P] one-hot selection in compute dtype; u: [P, H1] f32 hoisted
+    first layer; sv: [S, H1] center term; valid: [S, K] f32 1/0 slot
+    validity. Returns [S, H2] pooled (all-invalid rows -> 0, the PyG
+    scatter-max fill).
+    """
+    s, k, p = oh.shape
+    h1 = jnp.dot(oh.reshape(s * k, p), u.astype(oh.dtype),
+                 preferred_element_type=jnp.float32)            # [S*K, H1]
+    h1 = h1.reshape(s, k, -1) + sv[:, None, :]
+    h1 = jnp.maximum(h1 * a1[None, None, :] + b1[None, None, :], 0.0)
+
+    h2 = jnp.dot(h1.reshape(s * k, -1).astype(oh.dtype), w2_ref[:],
+                 preferred_element_type=jnp.float32)            # [S*K, H2]
+    h2 = jnp.maximum(h2 * a2[None, :] + b2[None, :], 0.0)
+    h2 = h2.reshape(s, k, -1)
+
+    filled = jnp.where(valid[:, :, None] > 0.0, h2, NEG)
+    pooled = jnp.max(filled, axis=1)                            # [S, H2]
+    any_sel = jnp.max(valid, axis=1, keepdims=True)
+    return jnp.where(any_sel > 0.0, pooled, 0.0).astype(out_dtype)
+
+
 def _sa_gather_kernel(feat_ref, ctr_ref, idx_ref, msk_ref, w1_ref, wp_ref,
                       ab1_ref, w2_ref, ab2_ref, out_ref, *, tile_g: int):
     """G clouds per program: one-hot VMEM gather of precomputed KNN + fused
@@ -203,20 +229,9 @@ def _sa_gather_kernel(feat_ref, ctr_ref, idx_ref, msk_ref, w1_ref, wp_ref,
         # ([S, K] -> [S*K, 1] is an "unsupported shape cast").
         lanes = jax.lax.broadcasted_iota(jnp.int32, (s, k, p), 2)
         oh = (lanes == idx[:, :, None]).astype(feat.dtype)
-        h1 = jnp.dot(oh.reshape(s * k, p), u.astype(feat.dtype),
-                     preferred_element_type=jnp.float32)        # [S*K, H1]
-        h1 = h1.reshape(s, k, -1) + sv[:, None, :]
-        h1 = jnp.maximum(h1 * a1[None, None, :] + b1[None, None, :], 0.0)
-
-        h2 = jnp.dot(h1.reshape(s * k, -1).astype(feat.dtype), w2_ref[:],
-                     preferred_element_type=jnp.float32)        # [S*K, H2]
-        h2 = jnp.maximum(h2 * a2[None, :] + b2[None, :], 0.0)
-        h2 = h2.reshape(s, k, -1)
-
-        filled = jnp.where(msk[:, :, None] > 0.0, h2, NEG)
-        pooled = jnp.max(filled, axis=1)                        # [S, H2]
-        any_sel = jnp.max(msk, axis=1, keepdims=True)
-        out_ref[g] = jnp.where(any_sel > 0.0, pooled, 0.0).astype(out_ref.dtype)
+        out_ref[g] = _gather_mlp_pool(
+            oh, u, sv, msk, w2_ref, a1, b1, a2, b2, out_ref.dtype
+        )
         return 0
 
     jax.lax.fori_loop(0, tile_g, one_cloud, 0)
@@ -357,10 +372,24 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
             0, bisect_iters, bisect,
             (jnp.zeros((s, 1), jnp.float32), jnp.full((s, 1), r2, jnp.float32)),
         )
-        thr = jnp.where(cnt_r2 <= float(k), r2, lo)
+        # Tie expansion: when the K-th nearest distance is tied (or within
+        # bisection precision) with later points — routine on voxel-quantized
+        # clouds — `lo` converges STRICTLY BELOW the tied value and the mask
+        # would collapse to count(lo) << K neighbors. Expand the threshold to
+        # the next distance tier; rank compaction below truncates back to K
+        # in lane order (the reference's neighborhoods are arbitrary <=K
+        # in-radius subsets, so any K of the tied points are valid).
+        cnt_lo = jnp.sum(jnp.where(d2 <= lo, inr, 0.0), axis=1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where((d2 > lo) & (inr > 0.0), d2, INF), axis=1, keepdims=True
+        )
+        thr = jnp.where(
+            cnt_r2 <= float(k), r2, jnp.where(cnt_lo < float(k), nxt, lo)
+        )
         mask = jnp.where(d2 <= thr, inr, 0.0)                   # [S, P]
         # d2 is exactly 0 for the center itself (an FPS subset of pos) and
-        # thr >= 0, so every row keeps at least one neighbor.
+        # thr >= 0, so every row keeps at least one neighbor; the expansion
+        # guarantees at least min(K, count-in-radius) selected.
 
         # Compaction ranks: rank[s, j] = # selected lanes before j.
         row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
@@ -375,15 +404,6 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
         oh = jnp.where(
             (rank[:, None, :] == slot) & (mask[:, None, :] > 0.0), 1.0, 0.0
         ).astype(feat.dtype)                                    # [S, K, P]
-        h1 = jnp.dot(oh.reshape(s * k, p), u.astype(feat.dtype),
-                     preferred_element_type=jnp.float32)        # [S*K, H1]
-        h1 = h1.reshape(s, k, -1) + sv[:, None, :]
-        h1 = jnp.maximum(h1 * a1[None, None, :] + b1[None, None, :], 0.0)
-
-        h2 = jnp.dot(h1.reshape(s * k, -1).astype(feat.dtype), w2_ref[:],
-                     preferred_element_type=jnp.float32)        # [S*K, H2]
-        h2 = jnp.maximum(h2 * a2[None, :] + b2[None, :], 0.0)
-        h2 = h2.reshape(s, k, -1)
 
         total = jnp.sum(mask, axis=1, keepdims=True)            # [S, 1]
         kslot = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1).astype(
@@ -391,9 +411,9 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
         )
         # f32 carrier: Mosaic rejects minor-dim insertion on bools.
         valid = jnp.where(kslot < jnp.minimum(total, float(k)), 1.0, 0.0)
-        filled = jnp.where(valid[:, :, None] > 0.0, h2, NEG)
-        pooled = jnp.max(filled, axis=1)                        # [S, H2]
-        out_ref[g] = jnp.where(total > 0.0, pooled, 0.0).astype(out_ref.dtype)
+        out_ref[g] = _gather_mlp_pool(
+            oh, u, sv, valid, w2_ref, a1, b1, a2, b2, out_ref.dtype
+        )
         return 0
 
     jax.lax.fori_loop(0, tile_g, one_cloud, 0)
