@@ -117,3 +117,68 @@ def test_nested_and_flat_layouts_convert_identically():
     p2, s2 = tc.convert_pointnet_checkpoint(tc.to_numpy(flat))
     jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
     jax.tree_util.tree_map(np.testing.assert_array_equal, s1, s2)
+
+
+def test_load_pretrained_pointnet_grafts_into_tower(tmp_path):
+    """Trainer flow: --pointnet_ckpt grafts the published PointNet weights
+    into the object tower's param tree (reference object_encoder.py:47-50),
+    leaving every other parameter untouched."""
+    import functools
+
+    from text2loc_tpu.config import small_test_config
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+    from text2loc_tpu.data.synthetic import make_scene
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+    from text2loc_tpu.training import steps as steps_lib
+
+    cfg = small_test_config()
+    sd = make_pointnet_state_dict(cfg.model.pointnet, nested=True)
+    path = tmp_path / "pointnet.pth"
+    torch.save(sd, path)
+
+    data = MultiSceneArrays([
+        make_scene("0000", num_cells=4, num_poses=8,
+                   object_slots=cfg.model.object_size,
+                   num_points=cfg.model.pointnet.num_points,
+                   num_mentioned=cfg.model.num_mentioned, seed=0)
+    ])
+    model = CellRetrievalNetwork(cfg.model)
+    emb = HintTextEmbedder.compositional(
+        cfg.model.text_embed_dim, cfg.model.max_hint_tokens
+    )
+    rng = jax.random.PRNGKey(0)
+    opt = steps_lib.make_optimizer(cfg, steps_per_epoch=1)
+    b = data.gather_coarse(np.arange(cfg.train.batch_size),
+                           cfg.model.object_size)
+    objects, text = steps_lib.prepare_coarse_batch(b, emb, cfg, rng,
+                                                   train=False)
+    state = steps_lib.init_train_state(model, opt, rng, objects, text)
+
+    p, s = tc.load_pretrained_pointnet(state.params, state.batch_stats,
+                                       str(path))
+    want_p, want_s = tc.convert_pointnet_checkpoint(tc.to_numpy(sd))
+    got = p["object_encoder"]["pointnet"]
+    flat_w = jax.tree_util.tree_leaves(want_p)
+    flat_g = jax.tree_util.tree_leaves(got)
+    assert len(flat_w) == len(flat_g)
+    for a, c in zip(flat_w, flat_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # Every non-pointnet parameter is untouched.
+    def drop_pn(t):
+        t = dict(t)
+        oe = dict(t["object_encoder"])
+        oe.pop("pointnet")
+        t["object_encoder"] = oe
+        return t
+    for a, c in zip(jax.tree_util.tree_leaves(drop_pn(state.params)),
+                    jax.tree_util.tree_leaves(drop_pn(p))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # CLI surface: both trainers expose --pointnet_ckpt.
+    from text2loc_tpu.training.coarse import build_argparser
+
+    args = build_argparser().parse_args(
+        ["--synthetic", "--pointnet_ckpt", str(path)]
+    )
+    assert args.pointnet_ckpt == str(path)

@@ -47,12 +47,18 @@ def train_coarse(
     eval_every: int = 1,
     resume: bool = False,
     data_test: Optional[MultiSceneArrays] = None,
+    pointnet_ckpt: Optional[str] = None,
 ) -> Tuple[steps_lib.TrainState, CellRetrievalNetwork, MetricLogger]:
     """Train the retrieval towers; returns (best-or-final state, model, log).
 
     `data_test`, when given, is evaluated once with the final best state (the
     reference evaluates test every epoch, coarse.py:283-287; a single final
-    eval avoids leaking test signal into any decision)."""
+    eval avoids leaking test signal into any decision).
+
+    `pointnet_ckpt`: optional published PointNet .pth to graft into the
+    object tower before training — the reference's default flow
+    (args.py:51-54 --pointnet_path + object_encoder.py:47-50); combine with
+    `cfg.model.pointnet.freeze` for the reference's --pointnet_freeze."""
     t = cfg.train
     # Train-time compute dtype (see ModelConfig.train_dtype): params stay
     # f32, so the returned state drives bf16 serving models unchanged.
@@ -73,6 +79,14 @@ def train_coarse(
         init_batch, embedder, cfg, init_rng, train=False
     )
     state = steps_lib.init_train_state(model, optimizer, init_rng, objects, text)
+    if pointnet_ckpt:
+        from text2loc_tpu.models.torch_convert import load_pretrained_pointnet
+
+        p, s = load_pretrained_pointnet(
+            state.params, state.batch_stats, pointnet_ckpt
+        )
+        state = state._replace(params=p, batch_stats=s)
+        print(f"grafted pretrained PointNet from {pointnet_ckpt}", flush=True)
 
     if mesh is not None:
         from text2loc_tpu.parallel.train import (
@@ -182,6 +196,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--text_table", default=None,
                     help="frozen T5 table .npz (scripts/build_t5_table.py); "
                          "default: compositional stand-in")
+    ap.add_argument("--pointnet_ckpt", default=None,
+                    help="published PointNet .pth to graft before training "
+                         "(reference --pointnet_path); combine with "
+                         "cfg.model.pointnet.freeze for --pointnet_freeze")
     ap.add_argument("--body_dtype", default=None,
                     choices=("float32", "bfloat16"),
                     help="mixed-precision training: compute dtype of the "
@@ -252,7 +270,7 @@ def main(argv=None):
     train_coarse(
         cfg, data_train, data_val, embedder,
         workdir=args.workdir, mesh=mesh, resume=args.resume,
-        data_test=data_test,
+        data_test=data_test, pointnet_ckpt=args.pointnet_ckpt,
     )
 
 

@@ -84,6 +84,7 @@ def train_fine(
     eval_every: int = 1,
     resume: bool = False,
     data_test: Optional[MultiSceneArrays] = None,
+    pointnet_ckpt: Optional[str] = None,
 ) -> Tuple[steps_lib.TrainState, CrossMatch, MetricLogger]:
     t = cfg.train
     cfg = cfg.replace(
@@ -101,6 +102,16 @@ def train_fine(
     )
     fb = steps_lib.prepare_fine_batch(init_batch, embedder, cfg, init_rng, train=False)
     state = steps_lib.init_train_state(model, optimizer, init_rng, fb.objects, fb.text)
+    if pointnet_ckpt:
+        # Reference flow: object_encoder.py:47-50 loads the published
+        # PointNet into BOTH towers' encoders before training.
+        from text2loc_tpu.models.torch_convert import load_pretrained_pointnet
+
+        p, s = load_pretrained_pointnet(
+            state.params, state.batch_stats, pointnet_ckpt
+        )
+        state = state._replace(params=p, batch_stats=s)
+        print(f"grafted pretrained PointNet from {pointnet_ckpt}", flush=True)
 
     if mesh is not None:
         from text2loc_tpu.parallel.mesh import shard_batch
@@ -215,7 +226,7 @@ def main(argv=None):
     train_fine(
         cfg, data_train, data_val, embedder,
         workdir=args.workdir, mesh=mesh, resume=args.resume,
-        data_test=data_test,
+        data_test=data_test, pointnet_ckpt=args.pointnet_ckpt,
     )
 
 
