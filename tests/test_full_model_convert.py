@@ -326,3 +326,93 @@ def test_graft_preserves_uncovered_subtrees():
     np.testing.assert_array_equal(out["a"]["x"], np.full(2, 7.0))
     np.testing.assert_array_equal(out["a"]["y"], np.ones(3))
     np.testing.assert_array_equal(out["b"], np.zeros(4))
+
+
+def make_reference_coarse_state_dict(mcfg):
+    """A reference-shaped coarse tower's state_dict at arbitrary ModelConfig
+    dims (class_embed path — mcfg.class_embed must be True)."""
+    assert mcfg.class_embed
+
+    class Tower(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.object_encoder = RefObjectEncoder(mcfg.coarse_embed_dim)
+            self.obj_inter_module = tnn.ModuleList([
+                tnn.TransformerEncoderLayer(
+                    mcfg.coarse_embed_dim, mcfg.object_inter_num_heads,
+                    dim_feedforward=2 * mcfg.coarse_embed_dim)
+                for _ in range(mcfg.object_inter_num_layers)
+            ])
+            self.language_encoder = RefLanguageEncoder(
+                mcfg.text_embed_dim, mcfg.coarse_embed_dim,
+                intra_layers=mcfg.intra_num_layers,
+                intra_heads=mcfg.intra_num_heads, is_fine=False,
+                inter_layers=mcfg.inter_num_layers,
+                inter_heads=mcfg.inter_num_heads,
+            )
+
+    tower = Tower()
+    _randomize_bn(tower)
+    return tower.state_dict()
+
+
+def test_convert_checkpoint_cli_round_trip(tmp_path):
+    """scripts/convert_checkpoint.py: published .pth -> Orbax checkpoint that
+    restores into a fresh state with the converted weights."""
+    import importlib.util
+    import os
+
+    from text2loc_tpu.config import Config
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+    from text2loc_tpu.data.synthetic import make_scene
+    from text2loc_tpu.evaluation.cli import _init_coarse_state, _restore_torch
+    from text2loc_tpu.models.text_embedding import make_embedder
+    from text2loc_tpu.utils.checkpoint import CheckpointManager
+
+    mcfg = _model_cfg()
+    sd = make_reference_coarse_state_dict(mcfg)
+    pth = tmp_path / "coarse.pth"
+    torch.save(sd, pth)
+
+    # Run the script's main() directly (scripts/ is not a package).
+    spec = importlib.util.spec_from_file_location(
+        "convert_checkpoint",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "convert_checkpoint.py"),
+    )
+    script = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(script)
+    base = ModelConfig()
+    overrides = [
+        f"{f}={getattr(mcfg, f)}"
+        for f in ("coarse_embed_dim", "fine_embed_dim", "class_embed",
+                  "object_size", "pad_size", "num_mentioned",
+                  "text_embed_dim", "max_hint_tokens",
+                  "object_inter_num_layers", "fine_num_decoder_layers",
+                  "dtype")
+        if getattr(mcfg, f) != getattr(base, f)
+    ]
+    out = tmp_path / "ckpt"
+    argv = ["--kind", "coarse", "--torch_ckpt", str(pth), "--out", str(out)]
+    for o in overrides:
+        argv += ["--override", o]
+    script.main(argv)
+
+    cfg = Config().validate()
+    cfg = cfg.replace(model=script.apply_model_overrides(cfg.model, overrides))
+    cfg, embedder = make_embedder(cfg, None)
+    data = MultiSceneArrays([
+        make_scene("0000", num_cells=4, num_poses=4,
+                   object_slots=max(cfg.model.object_size, cfg.model.pad_size),
+                   num_points=cfg.model.pointnet.num_points,
+                   num_mentioned=cfg.model.num_mentioned, seed=0)
+    ])
+    model = CellRetrievalNetwork(cfg.model)
+    fresh = _init_coarse_state(cfg, model, embedder, data)
+    mgr = CheckpointManager(str(out))
+    restored = mgr.restore(fresh)
+    mgr.close()
+    want = _restore_torch(str(pth), fresh, cfg, "coarse")
+    for a, b in zip(jax.tree_util.tree_leaves(want.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
