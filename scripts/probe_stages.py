@@ -98,6 +98,9 @@ for mode, env in [
     ("full it10", {"TEXT2LOC_FUSED_SA": "full", "TEXT2LOC_BISECT_ITERS": "10"}),
     ("full it8", {"TEXT2LOC_FUSED_SA": "full", "TEXT2LOC_BISECT_ITERS": "8"}),
     ("all", {"TEXT2LOC_FUSED_SA": "all"}),
+    ("first", {"TEXT2LOC_FUSED_SA": "first"}),
+    ("first,first,all", {"TEXT2LOC_FUSED_SA": "first,first,all"}),
+    ("full,full,all (cur default)", {"TEXT2LOC_FUSED_SA": "full,full,all"}),
 ]:
     for k in ("TEXT2LOC_FUSED_SA", "TEXT2LOC_APPROX_NEIGHBORS",
               "TEXT2LOC_BISECT_ITERS"):

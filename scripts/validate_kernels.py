@@ -102,6 +102,10 @@ MODES = {
     # Per-level strategy: full at SA1/SA2, all-pairs at SA3 (probe_levels.py).
     "fused_mixed": {"TEXT2LOC_FUSED_SA": "full,full,all"},
     "fused_all": {"TEXT2LOC_FUSED_SA": "all"},
+    # Fully-fused kernel with insertion-order (first <=K in-radius)
+    # selection — the reference's own torch-cluster radius() semantics.
+    "fused_first": {"TEXT2LOC_FUSED_SA": "first"},
+    "fused_first_mixed": {"TEXT2LOC_FUSED_SA": "first,first,all"},
     "fused_exact": {"TEXT2LOC_FUSED_SA": "1"},
     "approx_knn": {"TEXT2LOC_FUSED_SA": "off",
                    "TEXT2LOC_APPROX_NEIGHBORS": "1"},

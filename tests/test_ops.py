@@ -104,3 +104,27 @@ def test_fps_ladder_prefix_property():
     d1, _, _ = fps_gather(pos2, None, 64)
     d2, _, _ = fps_gather(d1, None, 32)
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1[:, :32]))
+
+
+def test_ball_query_first_in_radius_order():
+    """first=True keeps the FIRST <=K in-radius points in source index order
+    (torch-cluster radius() insertion semantics, reference pointnet2.py:28-34)."""
+    rng = np.random.default_rng(3)
+    src = rng.random((2, 40, 3)).astype(np.float32)
+    query = src[:, :6]
+    radius, k = 0.35, 5
+    idx, mask = map(
+        np.asarray,
+        ball_query_knn(jnp.asarray(src), jnp.asarray(query), radius, k,
+                       first=True),
+    )
+    for n in range(2):
+        for q in range(6):
+            d_all = np.linalg.norm(src[n] - query[n, q], axis=-1)
+            within = np.where(d_all <= radius)[0]       # already index-sorted
+            expect = within[:k]
+            got = idx[n, q][mask[n, q]]
+            np.testing.assert_array_equal(got, expect)
+            assert mask[n, q].sum() == len(expect)
+            # Invalid slots clamp to a valid neighbor.
+            assert np.isin(idx[n, q], within).all()

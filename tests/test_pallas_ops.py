@@ -262,3 +262,59 @@ def test_fused_sa_select_nonzero_tied_distances():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fused_sa_select_first_matches_xla_first_neighborhoods():
+    """"first" selection (interpret) vs the XLA path driven by
+    ball_query_knn(first=True): identical insertion-order neighborhoods —
+    the reference's torch-cluster radius() semantics — so only first-layer
+    decomposition rounding differs. The radius is chosen so in-radius counts
+    EXCEED K for most centers (where first-K and nearest-K genuinely
+    diverge)."""
+    import functools
+
+    import jax
+
+    from text2loc_tpu.models import pointnet2 as pn2
+    from text2loc_tpu.ops.ballquery import ball_query_knn
+
+    rng = np.random.default_rng(11)
+    n, p, c, k = 6, 32, 5, 4
+    x = jnp.asarray(rng.random((n, p, c)), jnp.float32)
+    pos = jnp.asarray(rng.random((n, p, 3)), jnp.float32)
+    radius = 0.6  # dense: most centers see >K in-radius points
+
+    def build(fused):
+        return pn2.SetAbstraction(
+            num_samples=16, radius=radius, mlp_channels=(c + 3, 16, 24),
+            max_neighbors=k, fused=fused, fused_interpret=True,
+        )
+
+    ref_mod = build(False)
+    variables = jax.jit(functools.partial(ref_mod.init, train=False))(
+        jax.random.PRNGKey(5), x, pos
+    )
+    stats = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.arange(a.shape[0], dtype=np.float32) / a.shape[0],
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    orig = pn2.ball_query_knn
+    pn2.ball_query_knn = functools.partial(ball_query_knn, first=True)
+    try:
+        want, want_ctr = ref_mod.apply(variables, x, pos, train=False)
+    finally:
+        pn2.ball_query_knn = orig
+    got, got_ctr = build("first").apply(variables, x, pos, train=False)
+
+    np.testing.assert_array_equal(np.asarray(want_ctr), np.asarray(got_ctr))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+    # And the neighborhoods genuinely diverge from nearest-K here: the
+    # bisect kernel must NOT give the same pooled output (sanity that the
+    # fixture exercises the difference).
+    other, _ = build("full").apply(variables, x, pos, train=False)
+    assert not np.allclose(np.asarray(other), np.asarray(want), atol=1e-3)

@@ -42,19 +42,21 @@ from text2loc_tpu.ops.pallas_pointconv import (
 
 
 def _fused_mode() -> str:
-    """"off" | "exact" | "all" | "gather" | "full" (env TEXT2LOC_FUSED_SA).
+    """"off"|"exact"|"all"|"gather"|"full"|"first" (env TEXT2LOC_FUSED_SA).
 
-    "full" (the TPU inference default): the ENTIRE level — distances,
-    K-nearest-in-radius selection (bisection on the distance threshold),
-    compaction gather and edge MLP — runs on the tile; no HBM distance
-    tensor and no top_k anywhere. "gather": neighbor selection runs OUTSIDE
-    on the MXU (ball_query_knn — identical neighborhoods to the XLA path)
-    and the fused kernel gathers the K selected neighbors via a one-hot
-    matmul that never leaves VMEM. "exact" replicates K-nearest selection
-    in-kernel via argmin rounds (measured slower). "all" aggregates over ALL
-    in-radius neighbors — a deterministic superset of the reference's
-    arbitrary <=K subset. Accuracy deltas for all modes measured in
-    BENCHMARKS.md (scripts/validate_kernels.py)."""
+    "full": the ENTIRE level — distances, K-nearest-in-radius selection
+    (bisection on the distance threshold), compaction gather and edge MLP —
+    runs on the tile; no HBM distance tensor and no top_k anywhere. "first":
+    same fully-fused kernel but selecting the FIRST <=K in-radius points in
+    lane order — the reference's own torch-cluster insertion-order semantics
+    (pointnet2.py:28-34) — with no bisection loop at all. "gather": neighbor
+    selection runs OUTSIDE on the MXU (ball_query_knn — identical
+    neighborhoods to the XLA path) and the fused kernel gathers the K
+    selected neighbors via a one-hot matmul that never leaves VMEM. "exact"
+    replicates K-nearest selection in-kernel via argmin rounds (measured
+    slower). "all" aggregates over ALL in-radius neighbors — a deterministic
+    superset of the reference's arbitrary <=K subset. Accuracy deltas for
+    all modes measured in BENCHMARKS.md (scripts/validate_kernels.py)."""
     if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
         "TEXT2LOC_DISABLE_PALLAS"
     ):
@@ -62,7 +64,7 @@ def _fused_mode() -> str:
     v = os.environ.get("TEXT2LOC_FUSED_SA", "full")
     if v == "1":
         return "exact"
-    if v in ("all", "gather", "full", "off"):
+    if v in ("all", "gather", "full", "first", "off"):
         return v
     return "off"
 
@@ -91,7 +93,7 @@ def _fused_mode_list(n_levels: int) -> list:
                 f"modes (one per SA level), got {len(modes)}"
             )
         bad = [s for s in modes
-               if s not in ("all", "gather", "full", "off", "exact")]
+               if s not in ("all", "gather", "full", "first", "off", "exact")]
         if bad:
             raise ValueError(f"TEXT2LOC_FUSED_SA={v!r}: unknown mode(s) {bad}")
         return modes
@@ -201,7 +203,7 @@ class SetAbstraction(nn.Module):
                 for l in range(2)
             ]
             w0 = kernels[0].astype(self.dtype)
-            if mode == "full":
+            if mode in ("full", "first"):
                 feat = jnp.concatenate(
                     [x.astype(self.dtype), pos.astype(self.dtype)], axis=-1
                 )
@@ -214,6 +216,7 @@ class SetAbstraction(nn.Module):
                     bisect_iters=int(
                         os.environ.get("TEXT2LOC_BISECT_ITERS", "12")
                     ),
+                    selection="first" if mode == "first" else "bisect",
                 )
                 return out, centers
             if mode == "gather":

@@ -20,22 +20,29 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "approx"))
+@functools.partial(jax.jit, static_argnames=("k", "approx", "first"))
 def ball_query_knn(src: jax.Array, query: jax.Array, radius: float, k: int,
-                   approx: bool = False):
-    """For each query point, the K nearest source points within `radius`.
+                   approx: bool = False, first: bool = False):
+    """For each query point, K source points within `radius`.
 
     Args:
         src: [N, P, 3] source points.
         query: [N, Q, 3] query centers (typically an FPS subset of src).
         radius: neighborhood radius (same units as coordinates).
         k: static neighbor budget.
+        approx: use `jax.lax.approx_max_k` for the nearest-K selection.
+        first: keep the FIRST <=K in-radius points in point (lane) order
+            instead of the K nearest — torch-cluster `radius()`'s own
+            insertion-order semantics (reference pointnet2.py:28-34, where
+            neighbors arrive in source index order and the K+1-th is
+            dropped). Mutually exclusive with `approx`.
 
     Returns:
         idx: [N, Q, K] int32 indices into the P axis. Invalid slots point at
             the nearest valid neighbor (safe to gather).
         mask: [N, Q, K] bool validity (True where the neighbor is in-radius).
     """
+    assert not (approx and first)
     # Pairwise squared distances [N, Q, P] — one batched MXU matmul via the
     # |a-b|^2 = |a|^2 - 2ab + |b|^2 expansion.
     q32 = query.astype(jnp.float32)
@@ -58,6 +65,17 @@ def ball_query_knn(src: jax.Array, query: jax.Array, radius: float, k: int,
     # strictly better-defined neighborhood than the reference's. Validated
     # accuracy-neutral on trained weights (scripts/validate_kernels.py).
     big = jnp.float32(1e30)
+    if first:
+        # Insertion-order selection: lane j's key is its in-radius rank
+        # (#in-radius lanes before it); the K smallest keys are the first K
+        # in-radius lanes, returned in lane order.
+        ir = in_radius.astype(jnp.int32)
+        rank = jnp.cumsum(ir, axis=-1) - ir
+        key = jnp.where(in_radius, rank.astype(jnp.float32), big)
+        neg_top, idx = jax.lax.top_k(-key, k)
+        mask = (-neg_top) < big
+        idx = jnp.where(mask, idx, idx[..., :1])
+        return idx.astype(jnp.int32), mask
     d2_masked = jnp.where(in_radius, d2, big)
     if approx:
         neg_top, idx = jax.lax.approx_max_k((-d2_masked).astype(jnp.bfloat16), k)

@@ -302,7 +302,7 @@ def fused_sa_gather(
 
 def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
                       w2_ref, ab2_ref, out_ref, *, radius: float, k: int,
-                      tile_g: int, bisect_iters: int):
+                      tile_g: int, bisect_iters: int, selection: str):
     """G clouds per program: IN-KERNEL neighbor selection + gather + edge MLP.
 
     Replaces the outside ball-query (ops.ballquery.ball_query_knn: an HBM
@@ -321,12 +321,17 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
     * the same hoisted first layer + folded-BN edge MLP + masked max as
       `_sa_gather_kernel`.
 
-    Neighborhood semantics: the reference keeps an ARBITRARY <=K subset of
-    the in-radius set (torch-cluster insertion order,
-    models/pointcloud/pointnet2.py:28-34); this kernel keeps the <=K nearest
-    up to threshold precision (ties within ~radius^2/2^bisect_iters resolve
-    in lane order) — the same neighborhoods as ball_query_knn away from exact
-    ties, and a valid reference neighborhood always.
+    Neighborhood semantics: the reference keeps the FIRST <=K in-radius
+    points in source index order (torch-cluster insertion order,
+    models/pointcloud/pointnet2.py:28-34). ``selection`` picks between:
+
+    * "bisect" — the <=K NEAREST up to threshold precision (ties within
+      ~radius^2/2^bisect_iters resolve in lane order): the same
+      neighborhoods as ball_query_knn away from exact ties, and a valid
+      reference neighborhood always;
+    * "first" — the first <=K in-radius points in LANE order: the
+      reference's own insertion-order semantics, with no bisection loop at
+      all (the in-radius mask feeds rank compaction directly).
     """
     s = ctr_ref.shape[1]
     p = feat_ref.shape[1]
@@ -354,42 +359,54 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
         )
         d2 = jnp.maximum(d2, 0.0)                   # [S, P]
         inr = jnp.where(d2 <= r2, 1.0, 0.0)
-        cnt_r2 = jnp.sum(inr, axis=1, keepdims=True)            # [S, 1]
 
-        # Largest thr in [0, r2] with count(d2 <= thr) <= k, per row.
-        # (An MXU-count variant — compare -> bf16 -> [S,P]@[P,L] ones matmul
-        # instead of the lane reduction — measured SLOWER: 13.9 -> 16.8 ms at
-        # SA1; the matmul cannot pipeline inside the sequential loop.)
-        def bisect(_, carry):
-            lo, hi = carry
-            mid = (lo + hi) * 0.5
-            cnt = jnp.sum(jnp.where(d2 <= mid, inr, 0.0), axis=1,
-                          keepdims=True)
-            ok = cnt <= float(k)
-            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+        if selection == "first":
+            # Insertion-order semantics: every in-radius lane is a selection
+            # candidate; rank compaction below keeps the first K in lane
+            # order — exactly torch-cluster radius()'s neighbor sets.
+            mask = inr
+        else:
+            cnt_r2 = jnp.sum(inr, axis=1, keepdims=True)        # [S, 1]
 
-        lo, _ = jax.lax.fori_loop(
-            0, bisect_iters, bisect,
-            (jnp.zeros((s, 1), jnp.float32), jnp.full((s, 1), r2, jnp.float32)),
-        )
-        # Tie expansion: when the K-th nearest distance is tied (or within
-        # bisection precision) with later points — routine on voxel-quantized
-        # clouds — `lo` converges STRICTLY BELOW the tied value and the mask
-        # would collapse to count(lo) << K neighbors. Expand the threshold to
-        # the next distance tier; rank compaction below truncates back to K
-        # in lane order (the reference's neighborhoods are arbitrary <=K
-        # in-radius subsets, so any K of the tied points are valid).
-        cnt_lo = jnp.sum(jnp.where(d2 <= lo, inr, 0.0), axis=1, keepdims=True)
-        nxt = jnp.min(
-            jnp.where((d2 > lo) & (inr > 0.0), d2, INF), axis=1, keepdims=True
-        )
-        thr = jnp.where(
-            cnt_r2 <= float(k), r2, jnp.where(cnt_lo < float(k), nxt, lo)
-        )
-        mask = jnp.where(d2 <= thr, inr, 0.0)                   # [S, P]
-        # d2 is exactly 0 for the center itself (an FPS subset of pos) and
-        # thr >= 0, so every row keeps at least one neighbor; the expansion
-        # guarantees at least min(K, count-in-radius) selected.
+            # Largest thr in [0, r2] with count(d2 <= thr) <= k, per row.
+            # (An MXU-count variant — compare -> bf16 -> [S,P]@[P,L] ones
+            # matmul instead of the lane reduction — measured SLOWER:
+            # 13.9 -> 16.8 ms at SA1; the matmul cannot pipeline inside the
+            # sequential loop.)
+            def bisect(_, carry):
+                lo, hi = carry
+                mid = (lo + hi) * 0.5
+                cnt = jnp.sum(jnp.where(d2 <= mid, inr, 0.0), axis=1,
+                              keepdims=True)
+                ok = cnt <= float(k)
+                return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+            lo, _ = jax.lax.fori_loop(
+                0, bisect_iters, bisect,
+                (jnp.zeros((s, 1), jnp.float32),
+                 jnp.full((s, 1), r2, jnp.float32)),
+            )
+            # Tie expansion: when the K-th nearest distance is tied (or
+            # within bisection precision) with later points — routine on
+            # voxel-quantized clouds — `lo` converges STRICTLY BELOW the tied
+            # value and the mask would collapse to count(lo) << K neighbors.
+            # Expand the threshold to the next distance tier; rank compaction
+            # below truncates back to K in lane order (the reference's
+            # neighborhoods are arbitrary <=K in-radius subsets, so any K of
+            # the tied points are valid).
+            cnt_lo = jnp.sum(jnp.where(d2 <= lo, inr, 0.0), axis=1,
+                             keepdims=True)
+            nxt = jnp.min(
+                jnp.where((d2 > lo) & (inr > 0.0), d2, INF), axis=1,
+                keepdims=True
+            )
+            thr = jnp.where(
+                cnt_r2 <= float(k), r2, jnp.where(cnt_lo < float(k), nxt, lo)
+            )
+            mask = jnp.where(d2 <= thr, inr, 0.0)               # [S, P]
+            # d2 is exactly 0 for the center itself (an FPS subset of pos)
+            # and thr >= 0, so every row keeps at least one neighbor; the
+            # expansion guarantees at least min(K, count-in-radius) selected.
 
         # Compaction ranks: rank[s, j] = # selected lanes before j.
         row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
@@ -398,11 +415,16 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
         rank = jnp.dot(mask.astype(jnp.bfloat16), tri,
                        preferred_element_type=jnp.float32)      # [S, P]
 
-        slot = jax.lax.broadcasted_iota(jnp.int32, (s, k, p), 1).astype(
+        # Unselected lanes get a sentinel rank no slot matches, so the [S,K,P]
+        # compare below needs no second mask pass (ranks reach at most P,
+        # slots at most K-1 < 2P).
+        rank = jnp.where(mask > 0.0, rank, jnp.float32(2 * p))  # [S, P]
+        # int32 iota -> f32: Mosaic's tpu.iota only produces integers.
+        slot = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0).astype(
             jnp.float32
-        )
+        )                                                       # [K, P]
         oh = jnp.where(
-            (rank[:, None, :] == slot) & (mask[:, None, :] > 0.0), 1.0, 0.0
+            rank[:, None, :] == slot[None, :, :], 1.0, 0.0
         ).astype(feat.dtype)                                    # [S, K, P]
 
         total = jnp.sum(mask, axis=1, keepdims=True)            # [S, 1]
@@ -421,7 +443,7 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("radius", "k", "interpret", "tile_g",
-                              "bisect_iters")
+                              "bisect_iters", "selection")
 )
 def fused_sa_select(
     feat: jax.Array,         # [N, P, C+3] concat(x, pos) in compute dtype
@@ -437,12 +459,16 @@ def fused_sa_select(
     interpret: bool = False,
     tile_g: int = 8,
     bisect_iters: int = 12,
+    selection: str = "bisect",
 ) -> jax.Array:
     """[N, S, H2] pooled SA features; neighbor selection fully in-kernel.
 
     Inference only (BN pre-folded). No [N, S, P] distance tensor and no
-    top_k ever exist outside the kernel.
+    top_k ever exist outside the kernel. ``selection``: "bisect" (<=K
+    nearest in-radius) or "first" (first <=K in-radius in lane order — the
+    reference's insertion-order semantics, no bisection loop).
     """
+    assert selection in ("bisect", "first"), selection
     n, p, cin = feat.shape
     s = centers.shape[1]
     h2 = w2.shape[1]
@@ -463,7 +489,7 @@ def fused_sa_select(
 
     kernel = functools.partial(
         _sa_select_kernel, radius=radius, k=k, tile_g=g_tile,
-        bisect_iters=bisect_iters,
+        bisect_iters=bisect_iters, selection=selection,
     )
     out = pl.pallas_call(
         kernel,
