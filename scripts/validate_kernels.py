@@ -88,13 +88,13 @@ def _train(cfg, data, mode, steps, seed=0):
 
 MODES = {
     # Baseline: one-hot XLA + exact KNN (TEXT2LOC_FUSED_SA defaults to
-    # "gather" on TPU, so the exact mode must pin it off).
+    # "first" on TPU, so the exact mode must pin it off).
     "exact": {"TEXT2LOC_FUSED_SA": "off"},
     # The fused gather kernel with EXACT top_k selection (isolates the
     # kernel numerics from the selection approximation).
     "gather_exact": {"TEXT2LOC_FUSED_SA": "gather",
                      "TEXT2LOC_APPROX_NEIGHBORS": "0"},
-    # The TPU inference default: gather kernel + approx_max_k selection.
+    # Gather kernel + approx_max_k selection.
     "gather_approx": {"TEXT2LOC_FUSED_SA": "gather",
                       "TEXT2LOC_APPROX_NEIGHBORS": "1"},
     # Fully-fused kernel: in-kernel bisection selection + compaction gather.

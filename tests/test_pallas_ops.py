@@ -318,3 +318,16 @@ def test_fused_sa_select_first_matches_xla_first_neighborhoods():
     # fixture exercises the difference).
     other, _ = build("full").apply(variables, x, pos, train=False)
     assert not np.allclose(np.asarray(other), np.asarray(want), atol=1e-3)
+
+
+def test_pallas_fps_with_coords_bit_equal_to_gather():
+    """with_coords returns exactly points[idx] — the kernel's in-loop coord
+    extraction replaces the external one-hot gather bit-for-bit."""
+    rng = np.random.default_rng(9)
+    pts = rng.random((16, 64, 3)).astype(np.float32)
+    idx, coords = farthest_point_sampling_pallas(
+        jnp.asarray(pts), 24, tile_n=8, interpret=True, with_coords=True
+    )
+    idx, coords = np.asarray(idx), np.asarray(coords)
+    want = np.take_along_axis(pts, idx[:, :, None], axis=1)
+    np.testing.assert_array_equal(coords, want)

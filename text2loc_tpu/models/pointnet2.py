@@ -44,24 +44,25 @@ from text2loc_tpu.ops.pallas_pointconv import (
 def _fused_mode() -> str:
     """"off"|"exact"|"all"|"gather"|"full"|"first" (env TEXT2LOC_FUSED_SA).
 
-    "full": the ENTIRE level — distances, K-nearest-in-radius selection
-    (bisection on the distance threshold), compaction gather and edge MLP —
-    runs on the tile; no HBM distance tensor and no top_k anywhere. "first":
-    same fully-fused kernel but selecting the FIRST <=K in-radius points in
-    lane order — the reference's own torch-cluster insertion-order semantics
-    (pointnet2.py:28-34) — with no bisection loop at all. "gather": neighbor
-    selection runs OUTSIDE on the MXU (ball_query_knn — identical
-    neighborhoods to the XLA path) and the fused kernel gathers the K
-    selected neighbors via a one-hot matmul that never leaves VMEM. "exact"
-    replicates K-nearest selection in-kernel via argmin rounds (measured
-    slower). "all" aggregates over ALL in-radius neighbors — a deterministic
-    superset of the reference's arbitrary <=K subset. Accuracy deltas for
-    all modes measured in BENCHMARKS.md (scripts/validate_kernels.py)."""
+    "first" (the TPU inference default): the ENTIRE level — distances,
+    selection, compaction gather and edge MLP — runs on the tile, selecting
+    the FIRST <=K in-radius points in lane order: the reference's own
+    torch-cluster insertion-order semantics (pointnet2.py:28-34), with no
+    selection loop at all (the in-radius mask feeds rank compaction
+    directly). "full": same fully-fused kernel but K-nearest-in-radius
+    (bisection on the distance threshold). "gather": neighbor selection runs
+    OUTSIDE on the MXU (ball_query_knn — identical neighborhoods to the XLA
+    path) and the fused kernel gathers the K selected neighbors via a
+    one-hot matmul that never leaves VMEM. "exact" replicates K-nearest
+    selection in-kernel via argmin rounds (measured slower). "all"
+    aggregates over ALL in-radius neighbors — a deterministic superset of
+    the reference's arbitrary <=K subset. Accuracy deltas for all modes
+    measured in BENCHMARKS.md (scripts/validate_kernels.py)."""
     if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
         "TEXT2LOC_DISABLE_PALLAS"
     ):
         return "off"
-    v = os.environ.get("TEXT2LOC_FUSED_SA", "full")
+    v = os.environ.get("TEXT2LOC_FUSED_SA", "first")
     if v == "1":
         return "exact"
     if v in ("all", "gather", "full", "first", "off"):
@@ -71,15 +72,14 @@ def _fused_mode() -> str:
 
 def _fused_mode_list(n_levels: int) -> list:
     """Per-SA-level fused modes. TEXT2LOC_FUSED_SA also accepts a comma list
-    — per-level strategy selection: at SA3's small shapes (64 pts -> 32
-    centers) all-pairs aggregation beats compaction gather
-    (scripts/probe_levels.py). The TPU default is "full,full,all" for the
-    reference's 3-level ladder (validated accuracy-neutral,
-    kernel_validation.json `fused_mixed`; raw fine stage 421 -> 456 q/s). A
-    single mode applies to every level; non-3-level ladders fall back to
-    "full" everywhere."""
-    default = "full,full,all" if n_levels == 3 else "full"
-    v = os.environ.get("TEXT2LOC_FUSED_SA", default)
+    — per-level strategy selection (probe_levels.py measured per-level
+    winners under bisection selection; with "first" selection one mode wins
+    everywhere: 19.6 vs 25.9 ms PointNet fwd for the old "full,full,all",
+    and "first,first,all" is no faster). The TPU default is "first" at every
+    level (validated accuracy-neutral on trained weights,
+    kernel_validation.json `fused_first`: 100% top-1 agreement, 4.8 cm mean
+    |dpos|, identical recall tables)."""
+    v = os.environ.get("TEXT2LOC_FUSED_SA", "first")
     if "," in v:
         if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
             "TEXT2LOC_DISABLE_PALLAS"

@@ -106,6 +106,13 @@ def _farthest_point_sampling_xla(points: jax.Array, num_samples: int) -> jax.Arr
 def fps_gather(points: jax.Array, features, num_samples: int):
     """FPS + gather of positions (and optionally features) in one call.
 
+    On the Pallas path the selected coordinates come straight out of the FPS
+    kernel (it touches them every round anyway), skipping the external
+    one-hot gather matmul over [N, P, 3]. Bit-identical to gathering
+    `points[idx]`. Position gradients are cut either way: FPS indices are
+    discrete and `points` carries no parameter dependence (object geometry
+    is data).
+
     Args:
         points: [N, P, 3].
         features: optional [N, P, C] or None.
@@ -116,8 +123,23 @@ def fps_gather(points: jax.Array, features, num_samples: int):
     """
     from text2loc_tpu.ops.ballquery import onehot_gather
 
-    idx = farthest_point_sampling(points, num_samples)
-    sub_points = onehot_gather(points, idx)
+    n = points.shape[0]
+    tile = _pallas_tile(n)
+    if (
+        tile
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
+    ):
+        from text2loc_tpu.ops.pallas_fps import farthest_point_sampling_pallas
+
+        idx, sub_points = farthest_point_sampling_pallas(
+            jax.lax.stop_gradient(points), num_samples, tile_n=tile,
+            with_coords=True,
+        )
+        sub_points = sub_points.astype(points.dtype)
+    else:
+        idx = _farthest_point_sampling_xla(points, num_samples)
+        sub_points = onehot_gather(points, idx)
     sub_features = None
     if features is not None:
         sub_features = onehot_gather(features, idx)

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # python scalar: jnp constants would be captured tracers
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, num_samples: int):
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, cx_ref, cy_ref, cz_ref, *,
+                num_samples: int):
     x = x_ref[:].astype(jnp.float32)   # [T, P]
     y = y_ref[:].astype(jnp.float32)
     z = z_ref[:].astype(jnp.float32)
@@ -53,32 +54,50 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, num_samples: int):
     # Selected indices accumulate in a carried [T, S] tile (a dynamic
     # single-lane store would need lane alignment Mosaic can't prove).
     acc = jnp.zeros((t, num_samples), jnp.int32)
+    # Selected coordinates accumulate alongside: the round's (lx, ly, lz) ARE
+    # the coords of the selection, so emitting them here makes the external
+    # center gather (an HBM one-hot matmul) unnecessary.
+    cx = jnp.where(slot == 0, lx[:, None], 0.0)
+    cy = jnp.where(slot == 0, ly[:, None], 0.0)
+    cz = jnp.where(slot == 0, lz[:, None], 0.0)
 
     def body(i, carry):
-        min_d, acc, lx, ly, lz = carry
+        min_d, acc, cx, cy, cz, lx, ly, lz = carry
         d = (x - lx[:, None]) ** 2 + (y - ly[:, None]) ** 2 + (z - lz[:, None]) ** 2
         min_d = jnp.minimum(min_d, d)
         nxt = jnp.argmax(min_d, axis=1).astype(jnp.int32)
         acc = jnp.where(slot == i, nxt[:, None], acc)
         lx, ly, lz = select_coords(nxt)
-        return min_d, acc, lx, ly, lz
+        cx = jnp.where(slot == i, lx[:, None], cx)
+        cy = jnp.where(slot == i, ly[:, None], cy)
+        cz = jnp.where(slot == i, lz[:, None], cz)
+        return min_d, acc, cx, cy, cz, lx, ly, lz
 
-    _, acc, _, _, _ = jax.lax.fori_loop(
-        1, num_samples, body, (min_d, acc, lx, ly, lz)
+    _, acc, cx, cy, cz, _, _, _ = jax.lax.fori_loop(
+        1, num_samples, body, (min_d, acc, cx, cy, cz, lx, ly, lz)
     )
     out_ref[:] = acc
+    cx_ref[:] = cx
+    cy_ref[:] = cy
+    cz_ref[:] = cz
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "tile_n", "interpret")
+    jax.jit, static_argnames=("num_samples", "tile_n", "interpret",
+                              "with_coords")
 )
 def farthest_point_sampling_pallas(
     points: jax.Array,
     num_samples: int,
     tile_n: int = 64,
     interpret: bool = False,
-) -> jax.Array:
+    with_coords: bool = False,
+):
     """[N, P, 3] -> [N, S] int32 FPS indices (first index always 0).
+
+    With ``with_coords``, also returns the selected coordinates [N, S, 3]
+    (f32) extracted inside the kernel — bit-identical to gathering
+    `points[idx]`, without the external one-hot gather pass.
 
     N must be a multiple of `tile_n` (callers pad; batch sizes in this
     framework are B*O with O a fixed slot count, so tiles line up).
@@ -99,11 +118,19 @@ def farthest_point_sampling_pallas(
         (tile_n, num_samples), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_fps_kernel, num_samples=num_samples)
-    return pl.pallas_call(
+    idx, cx, cy, cz = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, num_samples), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, num_samples), jnp.int32),
+            jax.ShapeDtypeStruct((n, num_samples), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_samples), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_samples), jnp.float32),
+        ],
         grid=grid,
         in_specs=[plane_spec, plane_spec, plane_spec],
-        out_specs=out_spec,
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
         interpret=interpret,
     )(x, y, z)
+    if with_coords:
+        return idx, jnp.stack([cx, cy, cz], axis=-1)
+    return idx

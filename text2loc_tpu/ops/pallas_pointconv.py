@@ -206,6 +206,8 @@ def _sa_gather_kernel(feat_ref, ctr_ref, idx_ref, msk_ref, w1_ref, wp_ref,
     b1 = ab1_ref[1]
     a2 = ab2_ref[0]
     b2 = ab2_ref[1]
+    # Loop-invariant lane iota, built once per program (not per cloud).
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (s, k, p), 2)
 
     def one_cloud(g, _):
         feat = feat_ref[g]                          # [P, C+3] compute dtype
@@ -227,7 +229,6 @@ def _sa_gather_kernel(feat_ref, ctr_ref, idx_ref, msk_ref, w1_ref, wp_ref,
         # Built 3-D with the iota on the minor axis, then major dims collapsed
         # — Mosaic rejects reshapes that move a minor dim into sublanes
         # ([S, K] -> [S*K, 1] is an "unsupported shape cast").
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (s, k, p), 2)
         oh = (lanes == idx[:, :, None]).astype(feat.dtype)
         out_ref[g] = _gather_mlp_pool(
             oh, u, sv, msk, w2_ref, a1, b1, a2, b2, out_ref.dtype
@@ -341,6 +342,15 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
     a2 = ab2_ref[0]
     b2 = ab2_ref[1]
 
+    # Loop-invariant selection constants, built once per program (not per
+    # cloud): the strict-lower-triangular rank matrix and the slot iota.
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    tri = jnp.where(row < col, 1.0, 0.0).astype(jnp.bfloat16)
+    # int32 iota -> f32: Mosaic's tpu.iota only produces integers.
+    slot = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0).astype(jnp.float32)
+    kslot = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1).astype(jnp.float32)
+
     def one_cloud(g, _):
         feat = feat_ref[g]                          # [P, C+3] compute dtype
         ctr = ctr_ref[g].astype(jnp.float32)        # [S, 3]
@@ -409,9 +419,6 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
             # expansion guarantees at least min(K, count-in-radius) selected.
 
         # Compaction ranks: rank[s, j] = # selected lanes before j.
-        row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
-        tri = jnp.where(row < col, 1.0, 0.0).astype(jnp.bfloat16)
         rank = jnp.dot(mask.astype(jnp.bfloat16), tri,
                        preferred_element_type=jnp.float32)      # [S, P]
 
@@ -419,18 +426,11 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
         # compare below needs no second mask pass (ranks reach at most P,
         # slots at most K-1 < 2P).
         rank = jnp.where(mask > 0.0, rank, jnp.float32(2 * p))  # [S, P]
-        # int32 iota -> f32: Mosaic's tpu.iota only produces integers.
-        slot = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0).astype(
-            jnp.float32
-        )                                                       # [K, P]
         oh = jnp.where(
             rank[:, None, :] == slot[None, :, :], 1.0, 0.0
         ).astype(feat.dtype)                                    # [S, K, P]
 
         total = jnp.sum(mask, axis=1, keepdims=True)            # [S, 1]
-        kslot = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1).astype(
-            jnp.float32
-        )
         # f32 carrier: Mosaic rejects minor-dim insertion on bools.
         valid = jnp.where(kslot < jnp.minimum(total, float(k)), 1.0, 0.0)
         out_ref[g] = _gather_mlp_pool(
