@@ -83,12 +83,20 @@ def build_argparser():
                          "over all slots). Use with converted torch "
                          "checkpoints for closest-to-original numerics; the "
                          "TPU-native default masks padding")
+    ap.add_argument("--fused_sa", default=None,
+                    help="SA kernel mode (off|first|full|gather|all|exact, "
+                         "or a per-level comma list); default 'first' on "
+                         "TPU. Equivalent to TEXT2LOC_FUSED_SA")
     return ap
 
 
 def _apply_model_flags(cfg, args):
     if getattr(args, "reference_attention", False):
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, mask_padded=False))
+    if getattr(args, "fused_sa", None):
+        import os
+
+        os.environ["TEXT2LOC_FUSED_SA"] = args.fused_sa
     return cfg
 
 
