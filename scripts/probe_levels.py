@@ -27,7 +27,11 @@ from text2loc_tpu.ops.pallas_pointconv import (
 )
 
 N = 2048
-ITERS = 8
+# 64 iterations per timing group: at ITERS=8 the per-group readback +
+# per-dispatch relay overhead adds ~3.3 ms/iter (calibrated against a trivial
+# jitted op — BENCHMARKS.md "Probe-harness calibration"); at 64 it is
+# ~0.6 ms/iter. Numbers remain comparable within one setting only.
+ITERS = 64
 LEVELS = [
     ("SA1", 256, 128, 6, 32, 64, 0.2),
     ("SA2", 128, 64, 64, 128, 128, 0.3),

@@ -27,7 +27,11 @@ from text2loc_tpu.ops.ballquery import ball_query_knn
 from text2loc_tpu.ops.fps import fps_gather
 
 N, P = 2048, 256
-ITERS = 8
+# 64 iterations per timing group: at ITERS=8 the per-group readback +
+# per-dispatch relay overhead adds ~3.3 ms/iter (calibrated against a trivial
+# jitted op — BENCHMARKS.md "Probe-harness calibration"); at 64 it is
+# ~0.6 ms/iter. Numbers remain comparable within one setting only.
+ITERS = 64
 
 cfg = ModelConfig()
 pn = cfg.pointnet

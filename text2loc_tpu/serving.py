@@ -100,6 +100,41 @@ class Localizer:
                 cfg.model.pad_size, self._rng, chunk=chunk,
             )
 
+        # One-program serve path (cached gallery, unsharded): every query is
+        # a SINGLE dispatch + one readback. The stepwise flow pays a ~30 ms
+        # tunnel round trip per host sync (top-k indices, fine preds, ...);
+        # measured single-query p50 dropped ~100 -> ~40 ms
+        # (scripts/probe_latency.py).
+        self._bbox_d = jnp.asarray(data.cell_bbox)
+        self._size_d = jnp.asarray(data.cell_size)
+        self._serve = (
+            self._build_serve() if self._fine_emb is not None and mesh is None
+            else None
+        )
+
+    def _build_serve(self):
+        encode_text = self._encode_text
+        fine_fwd = self._fine_fwd
+        k = self.top_k
+
+        @jax.jit
+        def serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
+                  fine_mask, bbox, size, batch):
+            text_enc = encode_text(cparams, cstats, batch)
+            scores, idx = topk_retrieval(gallery, text_enc, k)
+            b = text_enc.shape[0]
+            rep = jnp.repeat(jnp.arange(b), k)
+            flat = idx.reshape(-1)
+            hints = fine_fwd.encode_text(fparams, fstats, batch)
+            pred = fine_fwd.cct(
+                fparams, fstats, fine_emb[flat], fine_mask[flat],
+                hints[rep], batch["sentence_mask"][rep],
+            ).reshape(b, k, 2)
+            cand_w = bbox[idx][:, :, 0:2] + pred * size[idx][..., None]
+            return cand_w, idx, scores
+
+        return serve
+
     @staticmethod
     def _bucket(b: int) -> int:
         """Next power-of-two batch bucket: every jitted program is shape-
@@ -139,6 +174,28 @@ class Localizer:
         }
         if sentence_mask is not None:
             batch["sentence_mask"] = pad(np.asarray(sentence_mask, bool))
+
+        if self._serve is not None:
+            # Single-dispatch path: top-k + fine refinement + world-coords in
+            # one compiled program, one device->host transfer.
+            sbatch = dict(batch)
+            sbatch.setdefault(
+                "sentence_mask",
+                np.ones(sbatch["hint_dir"].shape, bool),
+            )
+            cand_w, idx, scores = jax.device_get(self._serve(
+                self.coarse_state.params, self.coarse_state.batch_stats,
+                self.fine_state.params, self.fine_state.batch_stats,
+                self._gallery, self._fine_emb, self._fine_mask,
+                self._bbox_d, self._size_d, sbatch,
+            ))
+            return LocalizationResult(
+                position_w=cand_w[:n_real, 0],
+                candidates_w=cand_w[:n_real],
+                cell_indices=idx[:n_real],
+                scores=scores[:n_real],
+            )
+
         text_enc = self._encode_text(
             self.coarse_state.params, self.coarse_state.batch_stats, batch
         )
