@@ -87,6 +87,12 @@ def build_argparser():
                     help="SA kernel mode (off|first|full|gather|all|exact, "
                          "or a per-level comma list); default 'first' on "
                          "TPU. Equivalent to TEXT2LOC_FUSED_SA")
+    ap.add_argument("--top_k", type=int, nargs="*", default=None,
+                    help="retrieval depths (reference evaluation/args.py:20; "
+                         "default 1 3 5 10)")
+    ap.add_argument("--threshs", type=float, nargs="*", default=None,
+                    help="localization error thresholds in meters "
+                         "(reference evaluation/args.py:21-23; default 5 10 15)")
     return ap
 
 
@@ -97,6 +103,13 @@ def _apply_model_flags(cfg, args):
         import os
 
         os.environ["TEXT2LOC_FUSED_SA"] = args.fused_sa
+    ev = {}
+    if getattr(args, "top_k", None):
+        ev["top_k"] = tuple(args.top_k)
+    if getattr(args, "threshs", None):
+        ev["threshs"] = tuple(args.threshs)
+    if ev:
+        cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, **ev))
     return cfg
 
 
