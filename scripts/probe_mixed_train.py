@@ -91,10 +91,79 @@ def run(body_dtype, steps, batch, data, cfg0):
     }
 
 
+def run_fine(body_dtype, steps, batch, data, cfg0):
+    """Fine-stage A/B: same pattern over CrossMatch + MSE (fine.py:65-68);
+    quality metric = mean train pose-offset error with the bf16 serving
+    model (lower is better)."""
+    import jax
+    import numpy as np
+
+    from text2loc_tpu.models.cross_matcher import CrossMatch
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+    from text2loc_tpu.training import steps as steps_lib
+    from text2loc_tpu.training.fine import eval_fine
+
+    cfg = cfg0.replace(
+        model=dataclasses.replace(
+            cfg0.model, dtype=cfg0.model.train_dtype, body_dtype=body_dtype
+        )
+    )
+    model = CrossMatch(cfg.model)
+    embedder = HintTextEmbedder.compositional(
+        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
+    )
+    rng = jax.random.PRNGKey(0)
+    opt = steps_lib.make_optimizer(cfg, steps_per_epoch=max(steps, 1))
+    batch0 = data.gather_fine(np.arange(batch), cfg.model.pad_size)
+    fb = steps_lib.prepare_fine_batch(batch0, embedder, cfg, rng, train=False)
+    state = steps_lib.init_train_state(model, opt, rng, fb.objects, fb.text)
+
+    step = jax.jit(
+        steps_lib.make_fine_train_step(model, embedder, cfg, opt),
+        donate_argnums=(0,),
+    )
+    order = np.random.default_rng(1)
+    losses = []
+    t_compile = time.perf_counter()
+    idx = order.choice(data.num_poses, batch, replace=False)
+    state, metrics = step(state, data.gather_fine(idx, cfg.model.pad_size), rng)
+    jax.block_until_ready(metrics)
+    print(f"  [fine {body_dtype or 'f32'}] compiled in "
+          f"{time.perf_counter() - t_compile:.1f}s", file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, srng = jax.random.split(rng)
+        idx = order.choice(data.num_poses, batch, replace=False)
+        state, metrics = step(
+            state, data.gather_fine(idx, cfg.model.pad_size), srng
+        )
+        if i % 25 == 0 or i == steps - 1:
+            loss = float(jax.device_get(metrics["loss"]))
+            losses.append(round(loss, 4))
+            print(f"  [fine {body_dtype or 'f32'}] step {i}: loss {loss:.4f}",
+                  file=sys.stderr, flush=True)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / steps
+
+    serve_cfg = cfg0.replace(
+        model=dataclasses.replace(cfg0.model, dtype="bfloat16", body_dtype=None)
+    )
+    err = eval_fine(data, state, CrossMatch(serve_cfg.model), embedder, serve_cfg)
+    return {
+        "stage": "fine",
+        "body_dtype": body_dtype or "float32",
+        "ms_per_step": round(dt * 1e3, 1),
+        "losses": losses,
+        "train_pose_error": round(err, 5),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--stage", default="coarse", choices=("coarse", "fine"))
     args = ap.parse_args()
 
     import jax
@@ -118,9 +187,10 @@ def main():
     )
     data = MultiSceneArrays([scene])
 
+    runner = run_fine if args.stage == "fine" else run
     out = [
-        run(None, args.steps, args.batch, data, cfg),
-        run("bfloat16", args.steps, args.batch, data, cfg),
+        runner(None, args.steps, args.batch, data, cfg),
+        runner("bfloat16", args.steps, args.batch, data, cfg),
     ]
     print(json.dumps(out, indent=1))
 

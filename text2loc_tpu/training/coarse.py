@@ -202,36 +202,49 @@ def build_argparser() -> argparse.ArgumentParser:
                          "cfg.model.pointnet.freeze for --pointnet_freeze")
     ap.add_argument("--body_dtype", default=None,
                     choices=("float32", "bfloat16"),
-                    help="mixed-precision training: compute dtype of the "
-                         "ObjectEncoder/PointNet body (tail stays f32 — the "
-                         "full-bf16 backward miscompiles on this stack, "
-                         "BENCHMARKS.md). bfloat16 measured 1.36x faster "
-                         "per coarse step, equal learning "
-                         "(scripts/probe_mixed_train.py)")
+                    help="compute dtype of the ObjectEncoder/PointNet body "
+                         "(the tail stays f32 — the full-bf16 backward "
+                         "miscompiles on this stack, BENCHMARKS.md). "
+                         "TPU default: bfloat16 for the COARSE trainer "
+                         "(400-step full-size A/B: 1.2x/step, equal "
+                         "recall) and float32 for the FINE trainer (bf16 "
+                         "body measured slightly worse pose error for only "
+                         "1.06x — scripts/probe_mixed_train.py --stage "
+                         "fine). Pass a value to override either way")
     return ap
 
 
-def _apply_overrides(cfg: Config, args) -> Config:
+def _apply_overrides(cfg: Config, args,
+                     tpu_default_body: Optional[str] = "bfloat16") -> Config:
     train = cfg.train
     for name in ("epochs", "batch_size", "learning_rate"):
         v = getattr(args, name)
         if v is not None:
             train = dataclasses.replace(train, **{name: v})
     cfg = cfg.replace(train=train)
-    if getattr(args, "body_dtype", None):
+    body = getattr(args, "body_dtype", None)
+    if body is None and jax.default_backend() not in ("cpu", "gpu"):
+        # TPU coarse-trainer default: mixed-precision body (bf16 body, f32
+        # tail), validated by a 400-step full-size A/B (equal-or-better
+        # recall at 1.2x/step — BENCHMARKS.md). The fine trainer passes
+        # tpu_default_body=None: its A/B measured slightly WORSE pose error
+        # for only 1.06x, so it stays f32 unless the user opts in.
+        body = tpu_default_body
+    if body:
         cfg = cfg.replace(
-            model=dataclasses.replace(cfg.model, body_dtype=args.body_dtype)
+            model=dataclasses.replace(cfg.model, body_dtype=body)
         )
     return cfg
 
 
-def _load_data(cfg: Config, args):
+def _load_data(cfg: Config, args,
+               tpu_default_body: Optional[str] = "bfloat16"):
     if args.synthetic:
         from text2loc_tpu.config import small_test_config
         from text2loc_tpu.data.synthetic import make_scene
 
         cfg = small_test_config()
-        cfg = _apply_overrides(cfg, args)
+        cfg = _apply_overrides(cfg, args, tpu_default_body=tpu_default_body)
         mk = lambda seed: MultiSceneArrays([
             make_scene(
                 scene_name=f"{seed:04d}", num_cells=8, num_poses=32,

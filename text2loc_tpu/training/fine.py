@@ -205,7 +205,9 @@ def main(argv=None):
     ap.add_argument("--pmc_prob", type=float, default=None)
     args = ap.parse_args(argv)
     cfg = Config().validate()
-    cfg = _apply_overrides(cfg, args)
+    # Fine keeps an f32 body by default: the mixed-body A/B measured
+    # slightly worse pose error for only 1.06x/step (BENCHMARKS.md).
+    cfg = _apply_overrides(cfg, args, tpu_default_body=None)
     if args.pmc_prob is not None:
         import dataclasses
 
@@ -214,7 +216,9 @@ def main(argv=None):
         from text2loc_tpu.utils.debug import enable_nan_debugging
 
         enable_nan_debugging()
-    cfg, data_train, data_val, data_test = _load_data(cfg, args)
+    cfg, data_train, data_val, data_test = _load_data(
+        cfg, args, tpu_default_body=None
+    )
     from text2loc_tpu.models.text_embedding import make_embedder
 
     cfg, embedder = make_embedder(cfg, args.text_table)
