@@ -79,14 +79,39 @@ def test_localizer_precomputed_fine_gallery_equals_recompute(
 
 
 def test_localizer_sharded_gallery(small_cfg, small_embedder, small_data):
+    """Sharded one-program serve (per-shard top-k + per-shard CCT on the
+    local fine cache + ICI candidate merge) equals the dense fused path."""
     cfg, data, embedder = small_cfg, small_data, small_embedder
     cs, cm, fs, fm = _states(cfg, embedder, data)
     dense = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3)
     mesh = make_mesh(8)
     sharded = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3, mesh=mesh)
+    assert sharded._serve is not None  # the fused sharded program built
 
     q = np.arange(4)
     a = dense.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
     b = sharded.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
     np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
     np.testing.assert_allclose(a.position_w, b.position_w, atol=1e-5)
+    np.testing.assert_allclose(a.candidates_w, b.candidates_w, atol=1e-5)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+
+
+def test_localizer_sharded_stepwise_gallery(small_cfg, small_embedder,
+                                            small_data):
+    """The stepwise sharded path (no fine cache -> per-candidate recompute on
+    host-gathered cells) still works and agrees on retrieval."""
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    dense = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                      precompute_fine=False)
+    mesh = make_mesh(8)
+    sharded = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                        mesh=mesh, precompute_fine=False)
+    assert sharded._serve is None
+
+    q = np.arange(4)
+    a = dense.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    b = sharded.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+    np.testing.assert_allclose(a.candidates_w, b.candidates_w, atol=1e-4)

@@ -80,6 +80,7 @@ class Localizer:
                 padded, NamedSharding(mesh, P(mesh.axis_names[0]))
             )
             self._topk = make_sharded_topk(mesh, self.top_k, c)
+            self._num_real_cells = c
         else:
             self._gallery = jnp.asarray(gallery)
             self._topk = None
@@ -100,17 +101,22 @@ class Localizer:
                 cfg.model.pad_size, self._rng, chunk=chunk,
             )
 
-        # One-program serve path (cached gallery, unsharded): every query is
-        # a SINGLE dispatch + one readback. The stepwise flow pays a ~30 ms
-        # tunnel round trip per host sync (top-k indices, fine preds, ...);
+        # One-program serve path (cached gallery): every query is a SINGLE
+        # dispatch + one readback. The stepwise flow pays a ~30 ms tunnel
+        # round trip per host sync (top-k indices, fine preds, ...);
         # measured single-query p50 dropped ~100 -> ~40 ms
-        # (scripts/probe_latency.py).
+        # (scripts/probe_latency.py). With a mesh, the sharded variant keeps
+        # the gallery AND the fine cache sharded over the devices and fuses
+        # per-shard retrieval + refinement + an ICI candidate merge into the
+        # same single program.
         self._bbox_d = jnp.asarray(data.cell_bbox)
         self._size_d = jnp.asarray(data.cell_size)
-        self._serve = (
-            self._build_serve() if self._fine_emb is not None and mesh is None
-            else None
-        )
+        self._serve = None
+        if self._fine_emb is not None:
+            if mesh is None:
+                self._serve = self._build_serve()
+            else:
+                self._serve = self._build_serve_sharded(mesh)
 
     def _build_serve(self):
         encode_text = self._encode_text
@@ -131,6 +137,115 @@ class Localizer:
                 hints[rep], batch["sentence_mask"][rep],
             ).reshape(b, k, 2)
             cand_w = bbox[idx][:, :, 0:2] + pred * size[idx][..., None]
+            return cand_w, idx, scores
+
+        return serve
+
+    def _build_serve_sharded(self, mesh):
+        """Fused serve over a mesh-sharded gallery (city-scale maps).
+
+        Each shard holds C/n gallery vectors, fine-cache rows, and cell
+        geometry. One program per query batch:
+
+        * local retrieval: scores against the local shard only, local top-k;
+        * local refinement: CCT over the local candidates using the LOCAL
+          fine cache — no cross-shard row gathers ever happen;
+        * merge: `all_gather` of the tiny per-shard (score, position, id)
+          candidate sets over ICI (O(B * n * k), not O(B * C)) + a replicated
+          top-k by coarse score.
+
+        Tie-breaking matches the dense path: shards concatenate in ascending
+        global-index order and `lax.top_k` keeps the first occurrence.
+        The text towers are recomputed per shard (replicated compute) — they
+        are a few percent of the refinement cost and keeping them inside the
+        program saves a dispatch round trip.
+        """
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from text2loc_tpu.ops.masked import NEG_INF
+
+        ax = mesh.axis_names[0]
+        n = mesh.devices.size
+        c_pad = self._gallery.shape[0]
+        num_cells = self._num_real_cells
+        encode_text = self._encode_text
+        fine_fwd = self._fine_fwd
+        k = self.top_k
+        kl = min(k, c_pad // n)
+
+        def _pad_rows(a):
+            a = np.asarray(a)
+            out = np.zeros((c_pad,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        row_sharded = NamedSharding(mesh, P(ax))
+        self._fine_emb_sh = jax.device_put(_pad_rows(self._fine_emb), row_sharded)
+        self._fine_mask_sh = jax.device_put(
+            _pad_rows(self._fine_mask), row_sharded
+        )
+        self._bbox_sh = jax.device_put(_pad_rows(self.data.cell_bbox), row_sharded)
+        self._size_sh = jax.device_put(_pad_rows(self.data.cell_size), row_sharded)
+
+        def local_serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
+                        fine_mask, bbox, size, batch):
+            text_enc = encode_text(cparams, cstats, batch)       # [B, D]
+            shard = jax.lax.axis_index(ax)
+            c_local = gallery.shape[0]
+            offset = shard * c_local
+            scores = jnp.einsum(
+                "qd,cd->qc",
+                text_enc.astype(jnp.float32),
+                gallery.astype(jnp.float32),
+            )
+            gids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(gids < num_cells, scores, NEG_INF)
+            s_loc, i_loc = jax.lax.top_k(scores, kl)             # [B, kl]
+            g_loc = i_loc + offset
+
+            b = s_loc.shape[0]
+            rep = jnp.repeat(jnp.arange(b), kl)
+            flat = i_loc.reshape(-1)                             # local rows
+            hints = fine_fwd.encode_text(fparams, fstats, batch)
+            pred = fine_fwd.cct(
+                fparams, fstats, fine_emb[flat], fine_mask[flat],
+                hints[rep], batch["sentence_mask"][rep],
+            ).reshape(b, kl, 2)
+            cand_w = bbox[i_loc][:, :, 0:2] + pred * size[i_loc][..., None]
+
+            s_all = jax.lax.all_gather(s_loc, ax, axis=0)        # [n, B, kl]
+            g_all = jax.lax.all_gather(g_loc, ax, axis=0)
+            w_all = jax.lax.all_gather(cand_w, ax, axis=0)       # [n, B, kl, 2]
+            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, n * kl)
+            g_flat = jnp.transpose(g_all, (1, 0, 2)).reshape(b, n * kl)
+            w_flat = jnp.transpose(w_all, (1, 0, 2, 3)).reshape(b, n * kl, 2)
+            s_top, sel = jax.lax.top_k(s_flat, k)                # [B, k]
+            g_top = jnp.take_along_axis(g_flat, sel, axis=1)
+            w_top = jnp.take_along_axis(w_flat, sel[..., None], axis=1)
+            return w_top, g_top, s_top
+
+        fn = shard_map(
+            local_serve,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax), P(ax), P(ax),
+                      P()),
+            out_specs=(P(), P(), P()),
+            # Replicated by construction (all_gather + merge); VMA inference
+            # can't prove it through the axis_index offset math.
+            check_vma=False,
+        )
+        jfn = jax.jit(fn)
+
+        def serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
+                  fine_mask, bbox, size, batch):
+            # Same signature as the dense serve; the sharded operands stored
+            # on the mesh replace the unsharded ones handed in by localize().
+            del fine_emb, fine_mask, bbox, size
+            cand_w, idx, scores = jfn(
+                cparams, cstats, fparams, fstats, gallery, self._fine_emb_sh,
+                self._fine_mask_sh, self._bbox_sh, self._size_sh, batch,
+            )
             return cand_w, idx, scores
 
         return serve
