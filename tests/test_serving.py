@@ -97,6 +97,50 @@ def test_localizer_sharded_gallery(small_cfg, small_embedder, small_data):
     np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
 
 
+def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
+                                           small_data, tmp_path, monkeypatch):
+    """cache_path persists the coarse gallery + fine cell cache; a restart
+    loads them without re-encoding and serves identical results. A stale
+    cache (different weights) fails loudly."""
+    import pytest
+
+    import text2loc_tpu.serving as serving_mod
+
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    path = str(tmp_path / "gallery.npz")
+    first = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                      cache_path=path)
+
+    # Second construction must take the load path: poison both encoders.
+    def boom(*a, **k):
+        raise AssertionError("cache miss: gallery re-encoded")
+
+    monkeypatch.setattr(serving_mod, "encode_gallery", boom)
+    monkeypatch.setattr(serving_mod.steps_lib, "encode_fine_gallery", boom)
+    warm = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                     cache_path=path)
+
+    q = np.arange(4)
+    a = first.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    b = warm.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+    np.testing.assert_allclose(a.candidates_w, b.candidates_w, atol=1e-6)
+
+    # Different weights -> fingerprint guard refuses the stale cache.
+    monkeypatch.undo()
+    cs2, cm2, fs2, fm2 = _states(
+        cfg, embedder, data
+    )
+    import jax
+
+    bad = jax.tree_util.tree_map(lambda x: x * 1.5, cs2.params)
+    cs2 = cs2._replace(params=bad)
+    with pytest.raises(ValueError, match="does not match"):
+        Localizer(data, cs2, cm2, fs2, fm2, embedder, cfg, top_k=3,
+                  cache_path=path)
+
+
 def test_localizer_sharded_stepwise_gallery(small_cfg, small_embedder,
                                             small_data):
     """The stepwise sharded path (no fine cache -> per-candidate recompute on

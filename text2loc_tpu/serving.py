@@ -56,6 +56,7 @@ class Localizer:
         mesh=None,
         precompute_fine: bool = True,
         chunk: int = 128,
+        cache_path: Optional[str] = None,
     ):
         self.data = data
         self.cfg = cfg
@@ -68,8 +69,20 @@ class Localizer:
 
         encode_cells, encode_text = make_coarse_encoders(coarse_model, embedder, cfg)
         self._encode_text = encode_text
-        gallery = encode_gallery(data, coarse_state, encode_cells, cfg,
-                                 jax.random.PRNGKey(0))
+
+        # Gallery caches are pure functions of (static map data, weights) —
+        # encoding them dominates serving start-up (one PointNet pass per
+        # cell). `cache_path` persists them: first construction encodes and
+        # saves, later restarts load and are query-ready immediately. The
+        # cache is guarded by gallery size, pad size, and weight fingerprints
+        # so a stale file fails loudly instead of serving wrong positions.
+        cached = self._load_cache(cache_path, precompute_fine)
+        gallery = (
+            cached["gallery"]
+            if cached is not None
+            else encode_gallery(data, coarse_state, encode_cells, cfg,
+                                jax.random.PRNGKey(0))
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -96,10 +109,17 @@ class Localizer:
         if precompute_fine:
             fwd = steps_lib.make_fine_split_forwards(fine_model, embedder, cfg)
             self._fine_fwd = fwd
-            self._fine_emb, self._fine_mask = steps_lib.encode_fine_gallery(
-                fwd, data, fine_state.params, fine_state.batch_stats,
-                cfg.model.pad_size, self._rng, chunk=chunk,
-            )
+            if cached is not None:
+                self._fine_emb = cached["fine_emb"]
+                self._fine_mask = cached["fine_mask"]
+            else:
+                self._fine_emb, self._fine_mask = steps_lib.encode_fine_gallery(
+                    fwd, data, fine_state.params, fine_state.batch_stats,
+                    cfg.model.pad_size, self._rng, chunk=chunk,
+                )
+
+        if cache_path is not None and cached is None:
+            self._save_cache(cache_path, np.asarray(gallery))
 
         # One-program serve path (cached gallery): every query is a SINGLE
         # dispatch + one readback. The stepwise flow pays a ~30 ms tunnel
@@ -117,6 +137,57 @@ class Localizer:
                 self._serve = self._build_serve()
             else:
                 self._serve = self._build_serve_sharded(mesh)
+
+    def _fingerprints(self):
+        def fp(params):
+            return float(
+                jax.tree_util.tree_reduce(
+                    lambda a, l: a + jnp.sum(jnp.abs(l.astype(jnp.float32))),
+                    params,
+                    jnp.zeros((), jnp.float32),
+                )
+            )
+
+        return fp(self.coarse_state.params), fp(self.fine_state.params)
+
+    def _load_cache(self, cache_path, need_fine: bool):
+        import os
+
+        if cache_path is None or not os.path.exists(cache_path):
+            return None
+        f = np.load(cache_path)
+        if need_fine and "fine_emb" not in f:
+            return None  # cache from a precompute_fine=False run: re-encode
+        cfp, ffp = self._fingerprints()
+        checks = (
+            int(f["num_cells"]) == self.data.num_cells
+            and int(f["pad_size"]) == self.cfg.model.pad_size
+            and abs(float(f["coarse_fp"]) - cfp) <= 1e-3 * max(1.0, cfp)
+            and abs(float(f["fine_fp"]) - ffp) <= 1e-3 * max(1.0, ffp)
+        )
+        if not checks:
+            raise ValueError(
+                f"gallery cache {cache_path} does not match this map/model "
+                "(cell count, pad size, or weight fingerprint differ) — "
+                "delete it to re-encode"
+            )
+        return f
+
+    def _save_cache(self, cache_path, gallery: np.ndarray):
+        cfp, ffp = self._fingerprints()
+        payload = dict(
+            gallery=gallery,
+            num_cells=self.data.num_cells,
+            pad_size=self.cfg.model.pad_size,
+            coarse_fp=cfp,
+            fine_fp=ffp,
+        )
+        if self._fine_emb is not None:
+            payload.update(
+                fine_emb=np.asarray(self._fine_emb),
+                fine_mask=np.asarray(self._fine_mask),
+            )
+        np.savez(cache_path, **payload)
 
     def _build_serve(self):
         encode_text = self._encode_text
