@@ -347,7 +347,10 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
     tri = jnp.where(row < col, 1.0, 0.0).astype(jnp.bfloat16)
-    # int32 iota -> f32: Mosaic's tpu.iota only produces integers.
+    # int32 iota -> f32: Mosaic's tpu.iota only produces integers. (A bf16
+    # variant of the [S,K,P] rank==slot compare was tried and is NOT
+    # supported: Mosaic rejects both bf16 matmul accumulators and bf16
+    # vector compares — "Target does not support this comparison".)
     slot = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0).astype(jnp.float32)
     kslot = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1).astype(jnp.float32)
 
@@ -426,8 +429,8 @@ def _sa_select_kernel(feat_ref, pos_ref, ctr_ref, w1_ref, wp_ref, ab1_ref,
         # compare below needs no second mask pass (ranks reach at most P,
         # slots at most K-1 < 2P).
         rank = jnp.where(mask > 0.0, rank, jnp.float32(2 * p))  # [S, P]
-        oh = jnp.where(
-            rank[:, None, :] == slot[None, :, :], 1.0, 0.0
+        oh = (
+            rank[:, None, :] == slot[None, :, :]
         ).astype(feat.dtype)                                    # [S, K, P]
 
         total = jnp.sum(mask, axis=1, keepdims=True)            # [S, 1]
