@@ -108,9 +108,14 @@ def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
 
     cfg, data, embedder = small_cfg, small_data, small_embedder
     cs, cm, fs, fm = _states(cfg, embedder, data)
-    path = str(tmp_path / "gallery.npz")
+    # Deliberately NOT .npz: np.savez on a bare path appends the extension,
+    # which would save to one name and load from another.
+    path = str(tmp_path / "gallery.cache")
     first = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
                       cache_path=path)
+    import os
+
+    assert os.path.exists(path)
 
     # Second construction must take the load path: poison both encoders.
     def boom(*a, **k):
@@ -139,6 +144,23 @@ def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
     with pytest.raises(ValueError, match="does not match"):
         Localizer(data, cs2, cm2, fs2, fm2, embedder, cfg, top_k=3,
                   cache_path=path)
+
+    # Gallery-only cache (precompute_fine=False) upgrades in place: a later
+    # fine-serving construction reuses the cached coarse gallery, encodes
+    # only the fine cache, and re-saves.
+    path2 = str(tmp_path / "gallery_only.npz")
+    Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+              precompute_fine=False, cache_path=path2)
+    monkeypatch.setattr(serving_mod, "encode_gallery", boom)  # coarse cached
+    up = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                   cache_path=path2)
+    monkeypatch.setattr(serving_mod.steps_lib, "encode_fine_gallery", boom)
+    warm2 = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                      cache_path=path2)
+    c = up.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    d = warm2.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    np.testing.assert_allclose(c.candidates_w, d.candidates_w, atol=1e-6)
+    np.testing.assert_allclose(a.candidates_w, c.candidates_w, atol=1e-6)
 
 
 def test_localizer_sharded_stepwise_gallery(small_cfg, small_embedder,

@@ -27,6 +27,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from text2loc_tpu.ops.ballquery import onehot_gather
 from text2loc_tpu.ops.masked import NEG_INF
 
 
@@ -46,6 +47,60 @@ def pad_gallery(cell_enc: np.ndarray, num_shards: int) -> Tuple[np.ndarray, int]
     return out, c
 
 
+def shard_local_topk(cells, texts, k: int, num_cells: int, axis_name: str):
+    """Per-shard gallery scoring + local top-k (call inside shard_map).
+
+    cells: [Cp/n, D] local shard; texts: [Q, D] replicated. Padded rows
+    (global id >= num_cells) are masked to -inf so they can never surface.
+    Returns (scores [Q, kl], local indices [Q, kl], global ids [Q, kl])
+    with kl = min(k, local shard size).
+    """
+    shard = jax.lax.axis_index(axis_name)
+    c_local = cells.shape[0]
+    offset = shard * c_local
+    scores = jnp.einsum(
+        "qd,cd->qc",
+        texts.astype(jnp.float32),
+        cells.astype(jnp.float32),
+    )
+    gids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(gids < num_cells, scores, NEG_INF)
+    k_local = min(k, c_local)
+    s_loc, i_loc = jax.lax.top_k(scores, k_local)                # [Q, kl]
+    return s_loc, i_loc, i_loc + offset
+
+
+def merge_shard_topk(s_loc, payloads, k: int, n: int, axis_name: str):
+    """all_gather per-shard candidates and keep the global top-k by score
+    (call inside shard_map).
+
+    s_loc: [Q, kl] per-shard candidate scores; payloads: per-candidate
+    arrays [Q, kl, ...] carried along (ids, positions, ...). ICI traffic is
+    O(Q * n * kl) per array. Shards concatenate in ascending global-index
+    order, so `lax.top_k`'s first-occurrence tie-breaking matches the dense
+    single-device path. Returns (scores [Q, k], tuple of gathered payloads).
+    """
+    q, kl = s_loc.shape
+
+    def flat(a):
+        g = jax.lax.all_gather(a, axis_name, axis=0)             # [n, Q, kl, ...]
+        perm = (1, 0, 2) + tuple(range(3, g.ndim))
+        return jnp.transpose(g, perm).reshape((q, n * kl) + a.shape[2:])
+
+    s_top, sel = jax.lax.top_k(flat(s_loc), k)                   # [Q, k]
+    outs = []
+    for a in payloads:
+        af = flat(a)
+        if af.ndim == 2:
+            outs.append(jnp.take_along_axis(af, sel, axis=1))
+        else:
+            # Trailing feature dims: gather along the non-minor candidate
+            # axis via the one-hot MXU formulation (take_along_axis on
+            # non-minor axes is pathologically slow on TPU).
+            outs.append(onehot_gather(af, sel))
+    return s_top, tuple(outs)
+
+
 def make_sharded_topk(mesh: Mesh, k: int, num_cells: int, axis_name: str = "dp"):
     """Build a jitted sharded-top-k: (cell_enc [Cp, D], text_enc [Q, D]) ->
     (scores [Q, k], global indices [Q, k]).
@@ -56,28 +111,9 @@ def make_sharded_topk(mesh: Mesh, k: int, num_cells: int, axis_name: str = "dp")
     n = mesh.devices.size
 
     def local_topk(cells, texts):
-        # cells: [Cp/n, D] local shard; texts: [Q, D] replicated.
-        shard = jax.lax.axis_index(axis_name)
-        c_local = cells.shape[0]
-        offset = shard * c_local
-        scores = jnp.einsum(
-            "qd,cd->qc",
-            texts.astype(jnp.float32),
-            cells.astype(jnp.float32),
-        )
-        gids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(gids < num_cells, scores, NEG_INF)
-        k_local = min(k, c_local)
-        s_loc, i_loc = jax.lax.top_k(scores, k_local)           # [Q, k_local]
-        g_loc = jnp.take_along_axis(gids, i_loc, axis=1)
-        # Merge across shards: all_gather the tiny candidate sets.
-        s_all = jax.lax.all_gather(s_loc, axis_name, axis=0)     # [n, Q, kl]
-        g_all = jax.lax.all_gather(g_loc, axis_name, axis=0)
-        q = s_loc.shape[0]
-        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q, n * k_local)
-        g_flat = jnp.transpose(g_all, (1, 0, 2)).reshape(q, n * k_local)
-        s_top, sel = jax.lax.top_k(s_flat, k)                    # [Q, k]
-        g_top = jnp.take_along_axis(g_flat, sel, axis=1)
+        s_loc, _, g_loc = shard_local_topk(cells, texts, k, num_cells,
+                                           axis_name)
+        s_top, (g_top,) = merge_shard_topk(s_loc, (g_loc,), k, n, axis_name)
         return s_top, g_top
 
     fn = shard_map(

@@ -74,9 +74,12 @@ class Localizer:
         # encoding them dominates serving start-up (one PointNet pass per
         # cell). `cache_path` persists them: first construction encodes and
         # saves, later restarts load and are query-ready immediately. The
-        # cache is guarded by gallery size, pad size, and weight fingerprints
-        # so a stale file fails loudly instead of serving wrong positions.
-        cached = self._load_cache(cache_path, precompute_fine)
+        # cache is guarded by gallery size, pad size, and a byte-exact
+        # digest of (params, batch_stats, map arrays) so a stale file fails
+        # loudly instead of serving wrong positions.
+        self._digest = self._cache_digest() if cache_path is not None else None
+        cached = self._load_cache(cache_path)
+        cache_dirty = cache_path is not None and cached is None
         gallery = (
             cached["gallery"]
             if cached is not None
@@ -109,16 +112,20 @@ class Localizer:
         if precompute_fine:
             fwd = steps_lib.make_fine_split_forwards(fine_model, embedder, cfg)
             self._fine_fwd = fwd
-            if cached is not None:
+            if cached is not None and "fine_emb" in cached.files:
                 self._fine_emb = cached["fine_emb"]
                 self._fine_mask = cached["fine_mask"]
             else:
+                # A gallery-only cache (saved by a precompute_fine=False
+                # run) still spares the coarse pass: encode just the fine
+                # cache and re-save the upgraded file.
                 self._fine_emb, self._fine_mask = steps_lib.encode_fine_gallery(
                     fwd, data, fine_state.params, fine_state.batch_stats,
                     cfg.model.pad_size, self._rng, chunk=chunk,
                 )
+                cache_dirty = cache_path is not None
 
-        if cache_path is not None and cached is None:
+        if cache_dirty:
             self._save_cache(cache_path, np.asarray(gallery))
 
         # One-program serve path (cached gallery): every query is a SINGLE
@@ -138,56 +145,92 @@ class Localizer:
             else:
                 self._serve = self._build_serve_sharded(mesh)
 
-    def _fingerprints(self):
-        def fp(params):
-            return float(
-                jax.tree_util.tree_reduce(
-                    lambda a, l: a + jnp.sum(jnp.abs(l.astype(jnp.float32))),
-                    params,
-                    jnp.zeros((), jnp.float32),
-                )
-            )
+    def _cache_digest(self) -> str:
+        """SHA-256 over everything the cached encodings are a function of:
+        both towers' params AND batch_stats (eval-mode BN uses running
+        statistics), plus the map's geometry/feature arrays. A byte-exact
+        hash — continued fine-tuning, a re-generated map with the same cell
+        grid, or swapped running stats all change it."""
+        import hashlib
 
-        return fp(self.coarse_state.params), fp(self.fine_state.params)
+        h = hashlib.sha256()
 
-    def _load_cache(self, cache_path, need_fine: bool):
+        def update_tree(tree):
+            leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in leaves:
+                a = np.asarray(leaf)
+                h.update(str(path).encode())
+                h.update(str((a.shape, str(a.dtype))).encode())
+                h.update(np.ascontiguousarray(a).tobytes())
+
+        for tree in (
+            self.coarse_state.params, self.coarse_state.batch_stats,
+            self.fine_state.params, self.fine_state.batch_stats,
+        ):
+            update_tree(tree)
+        d = self.data
+        for a in (d.cell_bbox, d.cell_size, d.obj_xyz, d.obj_rgb,
+                  d.obj_center, d.obj_color, d.obj_num_points, d.obj_class,
+                  d.obj_color_idx, d.obj_mask):
+            h.update(np.ascontiguousarray(a).tobytes())
+        return h.hexdigest()
+
+    def _load_cache(self, cache_path):
+        """Validated cache npz, or None (absent / unreadable / gallery-only
+        when the fine cache is also needed -> caller re-encodes). A readable
+        cache whose digest does NOT match raises: silently serving stale
+        encodings would produce wrong positions."""
         import os
+        import warnings
 
         if cache_path is None or not os.path.exists(cache_path):
             return None
-        f = np.load(cache_path)
-        if need_fine and "fine_emb" not in f:
-            return None  # cache from a precompute_fine=False run: re-encode
-        cfp, ffp = self._fingerprints()
-        checks = (
-            int(f["num_cells"]) == self.data.num_cells
-            and int(f["pad_size"]) == self.cfg.model.pad_size
-            and abs(float(f["coarse_fp"]) - cfp) <= 1e-3 * max(1.0, cfp)
-            and abs(float(f["fine_fp"]) - ffp) <= 1e-3 * max(1.0, ffp)
-        )
-        if not checks:
+        try:
+            f = np.load(cache_path, allow_pickle=False)
+            files = f.files
+        except Exception as e:  # truncated/corrupt write, not an npz, ...
+            warnings.warn(
+                f"unreadable gallery cache {cache_path} ({e}); re-encoding"
+            )
+            return None
+        if not {"gallery", "num_cells", "pad_size", "digest"} <= set(files):
+            warnings.warn(
+                f"gallery cache {cache_path} has missing fields; re-encoding"
+            )
+            return None
+        if (
+            int(f["num_cells"]) != self.data.num_cells
+            or int(f["pad_size"]) != self.cfg.model.pad_size
+            or str(f["digest"]) != self._digest
+        ):
             raise ValueError(
                 f"gallery cache {cache_path} does not match this map/model "
-                "(cell count, pad size, or weight fingerprint differ) — "
+                "(cell count, pad size, or weight/map digest differ) — "
                 "delete it to re-encode"
             )
         return f
 
     def _save_cache(self, cache_path, gallery: np.ndarray):
-        cfp, ffp = self._fingerprints()
+        """Atomic write (tmp + rename) through a file handle — np.savez on a
+        bare path appends '.npz', which would make a non-.npz cache_path
+        save to one name and load from another (a silently useless cache)."""
+        import os
+
         payload = dict(
             gallery=gallery,
             num_cells=self.data.num_cells,
             pad_size=self.cfg.model.pad_size,
-            coarse_fp=cfp,
-            fine_fp=ffp,
+            digest=np.asarray(self._digest),
         )
         if self._fine_emb is not None:
             payload.update(
                 fine_emb=np.asarray(self._fine_emb),
                 fine_mask=np.asarray(self._fine_mask),
             )
-        np.savez(cache_path, **payload)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, cache_path)
 
     def _build_serve(self):
         encode_text = self._encode_text
@@ -234,7 +277,10 @@ class Localizer:
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from text2loc_tpu.ops.masked import NEG_INF
+        from text2loc_tpu.parallel.retrieval import (
+            merge_shard_topk,
+            shard_local_topk,
+        )
 
         ax = mesh.axis_names[0]
         n = mesh.devices.size
@@ -262,18 +308,9 @@ class Localizer:
         def local_serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
                         fine_mask, bbox, size, batch):
             text_enc = encode_text(cparams, cstats, batch)       # [B, D]
-            shard = jax.lax.axis_index(ax)
-            c_local = gallery.shape[0]
-            offset = shard * c_local
-            scores = jnp.einsum(
-                "qd,cd->qc",
-                text_enc.astype(jnp.float32),
-                gallery.astype(jnp.float32),
-            )
-            gids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(gids < num_cells, scores, NEG_INF)
-            s_loc, i_loc = jax.lax.top_k(scores, kl)             # [B, kl]
-            g_loc = i_loc + offset
+            s_loc, i_loc, g_loc = shard_local_topk(
+                gallery, text_enc, k, num_cells, ax
+            )                                                    # [B, kl] x3
 
             b = s_loc.shape[0]
             rep = jnp.repeat(jnp.arange(b), kl)
@@ -285,15 +322,9 @@ class Localizer:
             ).reshape(b, kl, 2)
             cand_w = bbox[i_loc][:, :, 0:2] + pred * size[i_loc][..., None]
 
-            s_all = jax.lax.all_gather(s_loc, ax, axis=0)        # [n, B, kl]
-            g_all = jax.lax.all_gather(g_loc, ax, axis=0)
-            w_all = jax.lax.all_gather(cand_w, ax, axis=0)       # [n, B, kl, 2]
-            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, n * kl)
-            g_flat = jnp.transpose(g_all, (1, 0, 2)).reshape(b, n * kl)
-            w_flat = jnp.transpose(w_all, (1, 0, 2, 3)).reshape(b, n * kl, 2)
-            s_top, sel = jax.lax.top_k(s_flat, k)                # [B, k]
-            g_top = jnp.take_along_axis(g_flat, sel, axis=1)
-            w_top = jnp.take_along_axis(w_flat, sel[..., None], axis=1)
+            s_top, (g_top, w_top) = merge_shard_topk(
+                s_loc, (g_loc, cand_w), k, n, ax
+            )
             return w_top, g_top, s_top
 
         fn = shard_map(
