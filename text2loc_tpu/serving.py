@@ -304,6 +304,13 @@ class Localizer:
         )
         self._bbox_sh = jax.device_put(_pad_rows(self.data.cell_bbox), row_sharded)
         self._size_sh = jax.device_put(_pad_rows(self.data.cell_size), row_sharded)
+        # Pre-replicate the (immutable) parameter trees across the mesh so a
+        # query dispatch never re-broadcasts them from one device.
+        rep = NamedSharding(mesh, P())
+        self._params_rep = jax.device_put(
+            (self.coarse_state.params, self.coarse_state.batch_stats,
+             self.fine_state.params, self.fine_state.batch_stats), rep,
+        )
 
         def local_serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
                         fine_mask, bbox, size, batch):
@@ -341,11 +348,14 @@ class Localizer:
 
         def serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
                   fine_mask, bbox, size, batch):
-            # Same signature as the dense serve; the sharded operands stored
-            # on the mesh replace the unsharded ones handed in by localize().
+            # Same signature as the dense serve; the mesh-resident operands
+            # stored at build time replace the unsharded ones handed in by
+            # localize().
+            del cparams, cstats, fparams, fstats
             del fine_emb, fine_mask, bbox, size
+            cp, cst, fp, fst = self._params_rep
             cand_w, idx, scores = jfn(
-                cparams, cstats, fparams, fstats, gallery, self._fine_emb_sh,
+                cp, cst, fp, fst, gallery, self._fine_emb_sh,
                 self._fine_mask_sh, self._bbox_sh, self._size_sh, batch,
             )
             return cand_w, idx, scores
