@@ -122,6 +122,35 @@ def test_direction_words():
     assert direction_word(np.array([0.2, -0.2])) == "south"
 
 
+def test_direction_no_ontop():
+    """Center-based variant never says on-top (reference select.py:30-40)."""
+    from text2loc_tpu.data.structs import Object3d
+    from text2loc_tpu.prep.describe import get_direction_no_ontop
+
+    # Object centered at origin; pose right on the center.
+    xyz = np.array([[-0.1, -0.1, 0.0], [0.1, 0.1, 0.0]])
+    obj = Object3d(1, 1, xyz, np.zeros_like(xyz), "building")
+    assert get_direction_no_ontop(obj, np.zeros(3)) in (
+        "north", "south", "east", "west"
+    )
+    assert get_direction_no_ontop(obj, np.array([0.5, 0.1, 0.0])) == "east"
+    assert get_direction_no_ontop(obj, np.array([-0.5, 0.1, 0.0])) == "west"
+    # Ties break like the reference if-chain (south/north win).
+    assert get_direction_no_ontop(obj, np.array([0.5, 0.5, 0.0])) == "north"
+
+
+def test_auto_name_encoding():
+    from text2loc_tpu.prep.prepare import build_argparser, encode_output_name
+
+    args = build_argparser().parse_args([
+        "--path_in", "x", "--path_out", "k360", "--scene_name", "s",
+        "--shift_cells", "--no_ontop",
+    ])
+    name = encode_output_name(args)
+    assert name == ("k360_30.0-10.0_shiftCells_pd10.0_pc4_shiftPoses_all_"
+                    "nm-6_noOntop")
+
+
 def test_full_prep_pipeline(raw_scene):
     objects = gather_objects(str(raw_scene), SCENE)
     labels = {o.label for o in objects}

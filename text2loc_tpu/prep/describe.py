@@ -48,6 +48,14 @@ def get_direction(obj: Object3d, pose: np.ndarray) -> str:
     return direction_word((np.asarray(pose) - cp)[:2])
 
 
+def get_direction_no_ontop(obj: Object3d, pose: np.ndarray) -> str:
+    """Center-based direction word with no "on-top" class — the reference's
+    `get_direction_noOntop` (select.py:30-40): offset is pose minus object
+    CENTER (not closest point) and the on-top branch is absent."""
+    offset = np.asarray(pose)[:2] - obj.get_center()[:2]
+    return direction_word(offset, on_top_threshold=0.0)
+
+
 def select_objects(objects: Sequence[Object3d], pose: np.ndarray,
                    num_mentioned: int, select_by: str,
                    rng: Optional[np.random.Generator] = None) -> List[Object3d]:
@@ -87,10 +95,13 @@ def describe_pose_in_pose_cell(
     select_by: str,
     num_mentioned: int,
     max_dist: float = 0.5,
+    no_ontop: bool = False,
 ) -> Optional[List[DescriptionPoseCell]]:
     """Hints for a pose in its pose-cell (descriptions.py:152-210).
 
     Returns None when fewer than num_mentioned candidates are in range.
+    `no_ontop` swaps the direction word for the center-based no-"on-top"
+    variant (descriptions.py:197-198); offsets stay closest-point-based.
     """
     pose = (np.asarray(pose_w) - cell.bbox_w[0:3]) / cell.cell_size
     dists = np.array(
@@ -110,7 +121,11 @@ def describe_pose_in_pose_cell(
         d.object_label = obj.label
         d.object_color_rgb = obj.get_color_rgb()
         d.object_color_text = obj.get_color_text()
-        d.direction = direction_word((pose - cp)[:2])
+        d.direction = (
+            get_direction_no_ontop(obj, pose)
+            if no_ontop
+            else direction_word((pose - cp)[:2])
+        )
         d.offset_center = (pose - obj.get_center())[:2]
         d.offset_closest = (pose - cp)[:2]
         d.closest_point = cp[:2]

@@ -32,6 +32,7 @@ def create_poses(
     pose_count: int = 1,
     shift_poses: bool = True,
     describe_best_cell: bool = False,
+    no_ontop: bool = False,
     rng: Optional[np.random.Generator] = None,
 ) -> List[Pose]:
     rng = rng if rng is not None else np.random.default_rng()
@@ -67,7 +68,7 @@ def create_poses(
         for method in methods:
             describe_cell = best_cell if describe_best_cell else pose_cell
             descrs = describe_pose_in_pose_cell(
-                loc, describe_cell, method, num_mentioned
+                loc, describe_cell, method, num_mentioned, no_ontop=no_ontop
             )
             if descrs is None or len(descrs) < num_mentioned:
                 break  # don't try other strategies (reference :386-389)

@@ -56,7 +56,9 @@ def prepare_scene(args) -> None:
     poses = create_poses(
         objects, pose_locations, cells, args.cell_size,
         num_mentioned=args.num_mentioned, describe_by=args.describe_by,
-        pose_count=args.pose_count, shift_poses=args.shift_poses, rng=rng,
+        pose_count=args.pose_count, shift_poses=args.shift_poses,
+        describe_best_cell=args.describe_best_cell, no_ontop=args.no_ontop,
+        rng=rng,
     )
     print(f"{len(poses)} poses")
 
@@ -103,12 +105,45 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--shift_cells", action="store_true")
     ap.add_argument("--grid_cells", action="store_true")
     ap.add_argument("--all_cells", action="store_true")
+    ap.add_argument("--describe_best_cell", action="store_true",
+                    help="describe against the best (database) cell instead "
+                         "of the pose-centered cell")
+    ap.add_argument("--no_ontop", action="store_true",
+                    help="center-based direction words without the "
+                         "'on-top' class (reference select.py:30-40)")
+    ap.add_argument("--auto_name", action="store_true",
+                    help="append the reference's config-encoded suffix to "
+                         "path_out (datapreparation/args.py:41-54)")
     ap.add_argument("--seed", type=int, default=4096)
     return ap
 
 
+def encode_output_name(args) -> str:
+    """The reference's config-encoded dataset directory name
+    (/root/reference/datapreparation/args.py:41-54): path_out plus one
+    attribute token per non-default prep option, '_'-joined."""
+    attribs = [
+        args.path_out,
+        "allCells" if args.all_cells else None,
+        f"{args.cell_size}-{args.cell_dist}",
+        "gridCells" if args.grid_cells else (
+            "shiftCells" if args.shift_cells else "noCellShift"),
+        f"pd{args.pose_dist}",
+        f"pc{args.pose_count}",
+        "shiftPoses" if args.shift_poses else None,
+        args.describe_by,
+        f"nm-{args.num_mentioned}",
+        "bestCell" if args.describe_best_cell else None,
+        "noOntop" if args.no_ontop else None,
+    ]
+    return "_".join(a for a in attribs if a is not None)
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.auto_name:
+        args.path_out = encode_output_name(args)
+        print(f"output folder: {args.path_out}")
     prepare_scene(args)
 
 
