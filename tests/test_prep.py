@@ -147,8 +147,9 @@ def test_auto_name_encoding():
         "--shift_cells", "--no_ontop",
     ])
     name = encode_output_name(args)
-    assert name == ("k360_30.0-10.0_shiftCells_pd10.0_pc4_shiftPoses_all_"
-                    "nm-6_noOntop")
+    # Integral floats render as ints — the reference's int-typed args
+    # produce "30-10"/"pd10", and the dirname must match byte-for-byte.
+    assert name == "k360_30-10_shiftCells_pd10_pc4_shiftPoses_all_nm-6_noOntop"
 
 
 def test_full_prep_pipeline(raw_scene):

@@ -122,13 +122,18 @@ def encode_output_name(args) -> str:
     """The reference's config-encoded dataset directory name
     (/root/reference/datapreparation/args.py:41-54): path_out plus one
     attribute token per non-default prep option, '_'-joined."""
+    def num(v):
+        # The reference's args are int-typed, so 30.0 must render "30" (a
+        # float-styled "30.0-10.0" would never match a reference dirname).
+        return int(v) if float(v).is_integer() else v
+
     attribs = [
         args.path_out,
         "allCells" if args.all_cells else None,
-        f"{args.cell_size}-{args.cell_dist}",
+        f"{num(args.cell_size)}-{num(args.cell_dist)}",
         "gridCells" if args.grid_cells else (
             "shiftCells" if args.shift_cells else "noCellShift"),
-        f"pd{args.pose_dist}",
+        f"pd{num(args.pose_dist)}",
         f"pc{args.pose_count}",
         "shiftPoses" if args.shift_poses else None,
         args.describe_by,

@@ -41,7 +41,16 @@ class LocalizationResult(NamedTuple):
 
 
 class Localizer:
-    """Production query path over a fixed cell gallery."""
+    """Production query path over a fixed cell gallery.
+
+    IMMUTABLE after construction: the coarse gallery, fine cell cache, and
+    (in mesh mode) the mesh-replicated parameter copies are all derived
+    from the states/map passed to ``__init__``. Reassigning
+    ``loc.coarse_state``/``fine_state`` later would desynchronize towers
+    from their precomputed caches (and the sharded serve would keep the
+    build-time weights entirely) — construct a new Localizer for new
+    weights; ``cache_path`` makes that cheap for unchanged maps.
+    """
 
     def __init__(
         self,
