@@ -43,6 +43,44 @@ def test_sharded_topk_matches_dense():
     assert np.all(same | ties)
 
 
+def test_merge_shard_topk_payloads():
+    """The shared per-shard top-k + candidate merge helpers directly: 2-D
+    (ids) and 3-D (positions) payloads ride along and land at the slots the
+    dense argsort would pick."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from text2loc_tpu.parallel.retrieval import (
+        merge_shard_topk,
+        shard_local_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    n, q, d, k, c = 8, 3, 16, 4, 40  # c divisible by n
+    cells = rng.standard_normal((c, d)).astype(np.float32)
+    texts = rng.standard_normal((q, d)).astype(np.float32)
+    pos = rng.standard_normal((c, 2)).astype(np.float32)  # per-cell payload
+
+    mesh = make_mesh(n)
+
+    def run(cells_sh, texts_r, pos_sh):
+        s_loc, i_loc, g_loc = shard_local_topk(cells_sh, texts_r, k, c, "dp")
+        w_loc = pos_sh[i_loc]  # local per-candidate payload [Q, kl, 2]
+        return merge_shard_topk(s_loc, (g_loc, w_loc), k, n, "dp")
+
+    fn = shard_map(run, mesh=mesh, in_specs=(P("dp"), P(), P("dp")),
+                   out_specs=(P(), (P(), P())), check_vma=False)
+    s_top, (g_top, w_top) = jax.jit(fn)(cells, texts, pos)
+
+    scores = texts @ cells.T
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(s_top), np.take_along_axis(scores, order, 1), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(g_top), order)
+    np.testing.assert_allclose(np.asarray(w_top), pos[order], atol=1e-6)
+
+
 def test_dp_coarse_step_matches_single_chip(small_cfg, small_embedder, small_data):
     n_dev = 8
     cfg = small_cfg.replace(
