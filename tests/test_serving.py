@@ -43,6 +43,15 @@ def test_localizer_roundtrip(small_cfg, small_embedder, small_data):
     # Scores sorted descending per query.
     assert (np.diff(res.scores, axis=1) <= 1e-6).all()
 
+    # States are frozen: reassignment would desync the precomputed caches,
+    # so it must fail loudly (ADVICE r2).
+    import pytest
+
+    with pytest.raises(AttributeError):
+        loc.coarse_state = cs
+    with pytest.raises(AttributeError):
+        loc.fine_state = fs
+
 
 def test_localizer_batch_bucketing(small_cfg, small_embedder, small_data):
     """Odd batch sizes pad to power-of-two buckets (one compile per bucket)

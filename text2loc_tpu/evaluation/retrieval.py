@@ -79,6 +79,7 @@ def encode_queries(
             "hint_dir": data.hint_dir[full],
             "hint_color": data.hint_color[full],
             "hint_label": data.hint_label[full],
+            "sentence_mask": data.hint_mask[full],
         }
         enc = encode_text(state.params, state.batch_stats, batch)
         out[idx] = np.asarray(enc)[: len(idx)]

@@ -45,12 +45,21 @@ class Localizer:
 
     IMMUTABLE after construction: the coarse gallery, fine cell cache, and
     (in mesh mode) the mesh-replicated parameter copies are all derived
-    from the states/map passed to ``__init__``. Reassigning
-    ``loc.coarse_state``/``fine_state`` later would desynchronize towers
-    from their precomputed caches (and the sharded serve would keep the
-    build-time weights entirely) — construct a new Localizer for new
-    weights; ``cache_path`` makes that cheap for unchanged maps.
+    from the states/map passed to ``__init__``. Reassigning the states
+    later would desynchronize towers from their precomputed caches (and
+    the sharded serve would keep the build-time weights entirely) — so
+    ``coarse_state``/``fine_state`` are read-only properties; assignment
+    raises. Construct a new Localizer for new weights; ``cache_path``
+    makes that cheap for unchanged maps.
     """
+
+    @property
+    def coarse_state(self) -> TrainState:
+        return self._coarse_state
+
+    @property
+    def fine_state(self) -> TrainState:
+        return self._fine_state
 
     def __init__(
         self,
@@ -71,8 +80,8 @@ class Localizer:
         self.cfg = cfg
         self.top_k = min(top_k, data.num_cells)
         self.embedder = embedder
-        self.coarse_state = coarse_state
-        self.fine_state = fine_state
+        self._coarse_state = coarse_state
+        self._fine_state = fine_state
         self.mesh = mesh
         self._chunk = chunk
 
@@ -121,7 +130,7 @@ class Localizer:
         if precompute_fine:
             fwd = steps_lib.make_fine_split_forwards(fine_model, embedder, cfg)
             self._fine_fwd = fwd
-            if cached is not None and "fine_emb" in cached.files:
+            if cached is not None and "fine_emb" in cached:
                 self._fine_emb = cached["fine_emb"]
                 self._fine_mask = cached["fine_mask"]
             else:
@@ -195,35 +204,42 @@ class Localizer:
         if cache_path is None or not os.path.exists(cache_path):
             return None
         try:
-            f = np.load(cache_path, allow_pickle=False)
-            files = f.files
+            # Materialize into a plain dict and close the NpzFile — a live
+            # NpzFile would hold the zip handle open for the Localizer's
+            # lifetime (and across the os.replace of a cache upgrade).
+            with np.load(cache_path, allow_pickle=False) as f:
+                cache = {k: f[k] for k in f.files}
         except Exception as e:  # truncated/corrupt write, not an npz, ...
             warnings.warn(
                 f"unreadable gallery cache {cache_path} ({e}); re-encoding"
             )
             return None
-        if not {"gallery", "num_cells", "pad_size", "digest"} <= set(files):
+        if not {"gallery", "num_cells", "pad_size", "digest"} <= set(cache):
             warnings.warn(
                 f"gallery cache {cache_path} has missing fields; re-encoding"
             )
             return None
         if (
-            int(f["num_cells"]) != self.data.num_cells
-            or int(f["pad_size"]) != self.cfg.model.pad_size
-            or str(f["digest"]) != self._digest
+            int(cache["num_cells"]) != self.data.num_cells
+            or int(cache["pad_size"]) != self.cfg.model.pad_size
+            or str(cache["digest"]) != self._digest
         ):
             raise ValueError(
                 f"gallery cache {cache_path} does not match this map/model "
                 "(cell count, pad size, or weight/map digest differ) — "
                 "delete it to re-encode"
             )
-        return f
+        return cache
 
     def _save_cache(self, cache_path, gallery: np.ndarray):
-        """Atomic write (tmp + rename) through a file handle — np.savez on a
-        bare path appends '.npz', which would make a non-.npz cache_path
-        save to one name and load from another (a silently useless cache)."""
+        """Atomic write (unique tmp + rename) through a file handle — np.savez
+        on a bare path appends '.npz', which would make a non-.npz cache_path
+        save to one name and load from another (a silently useless cache).
+        The tmp name is unique per writer so two processes sharing a
+        cache_path can't interleave into one tmp file and publish a corrupt
+        cache."""
         import os
+        import tempfile
 
         payload = dict(
             gallery=gallery,
@@ -236,10 +252,20 @@ class Localizer:
                 fine_emb=np.asarray(self._fine_emb),
                 fine_mask=np.asarray(self._fine_mask),
             )
-        tmp = cache_path + ".tmp"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, **payload)
-        os.replace(tmp, cache_path)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(cache_path)),
+            prefix=os.path.basename(cache_path) + ".tmp.",
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez(fh, **payload)
+            os.replace(tmp, cache_path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def _build_serve(self):
         encode_text = self._encode_text
