@@ -49,6 +49,16 @@ def test_render_cell_3d(small_data, tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_render_flythrough(small_data, tmp_path):
+    """Camera-orbit frame export (reference rendering.py:31-70 equivalent)."""
+    from text2loc_tpu.evaluation.visualize import render_flythrough
+
+    paths = render_flythrough(small_data, 0, str(tmp_path / "fly"), num_frames=4)
+    assert len(paths) == 4
+    for p in paths:
+        assert os.path.getsize(p) > 0
+
+
 def test_render_pose_in_cell(small_data):
     from text2loc_tpu.evaluation.visualize import render_pose_in_cell
 

@@ -27,6 +27,45 @@ def test_train_coarse_with_checkpointing(small_cfg, small_embedder, small_data, 
     assert os.path.exists(tmp_path / "coarse_metrics.png")
 
 
+def test_train_coarse_triplet_loss(small_cfg, small_embedder, small_data):
+    """ranking_loss="triplet" trains end to end: negative cells are sampled
+    per batch (gather_coarse negative_rng) and fed through the working
+    triplet branch (the reference's is dead code, coarse.py:47-50)."""
+    cfg = _small_two_epoch(small_cfg)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, loss=dataclasses.replace(
+            cfg.train.loss, ranking_loss="triplet")))
+    cfg.validate()
+    state, model, logger = train_coarse(cfg, small_data, small_data, small_embedder)
+    assert len(logger.history["loss"]) == 2
+    assert all(np.isfinite(v) for v in logger.history["loss"])
+    assert int(state.step) >= 1
+
+
+def test_train_coarse_eval_train_flag(small_cfg, small_embedder, small_data):
+    """--eval_train logs per-epoch train-split recall (reference
+    coarse.py:283-287, the overfitting signal)."""
+    cfg = _small_two_epoch(small_cfg)
+    _, _, logger = train_coarse(
+        cfg, small_data, small_data, small_embedder, eval_train=True
+    )
+    keys = [k for k in logger.history if k.startswith("train_recall@")]
+    assert keys, logger.history.keys()
+    assert len(logger.history[keys[0]]) == 2
+
+
+def test_gather_coarse_negative_sampling(small_data, small_cfg):
+    rng = np.random.default_rng(0)
+    batch = small_data.gather_coarse(
+        np.arange(8), small_cfg.model.object_size, negative_rng=rng
+    )
+    assert batch["neg_xyz"].shape == batch["xyz"].shape
+    # Negatives never equal the positive cell, and span the global gallery.
+    assert (batch["neg_cell_index"] != batch["cell_index"]).all()
+    assert batch["neg_cell_index"].min() >= 0
+    assert batch["neg_cell_index"].max() < small_data.num_cells
+
+
 def test_trainers_compute_in_train_dtype(small_cfg, small_embedder, small_data):
     """Trainers must build their models at train_dtype (f32): the bf16
     backward miscompiles to zero gradients on the remote-TPU stack

@@ -125,7 +125,12 @@ class TrainConfig:
 
     # Augmentation (training/coarse.py:186-201).
     shuffle_hints: bool = True
-    flip_poses: bool = True
+    flip_poses: bool = True               # coarse stage
+    # The reference FINE recipe trains WITHOUT flips (training/fine.py:168
+    # constructs its dataset with flip_pose=False), so the fine trainer has
+    # its own switch defaulting off; opt in to A/B the augmentation
+    # (scripts/probe_mixed_train.py is the on-chip harness template).
+    fine_flip_poses: bool = False
     pc_augment: bool = True               # random z-rotation + normalize-scale
     sample_close_cell: bool = False       # positive = any cell within
                                           # cell_size/2 (cells.py:69-74)

@@ -249,12 +249,20 @@ class MultiSceneArrays:
 
     def gather_coarse(self, pose_indices: np.ndarray, object_size: int,
                       sample_close_rng: Optional[np.random.Generator] = None,
+                      negative_rng: Optional[np.random.Generator] = None,
                       ) -> Dict[str, np.ndarray]:
         """Per-pose coarse sample: positive cell objects + hint triples.
 
         With `sample_close_rng`, the positive is a random cell within
         cell_size/2 of the pose instead of the best cell (the reference's
         sample_close_cell training augmentation, cells.py:65-74).
+
+        With `negative_rng`, each sample also carries a uniformly random
+        NON-matching gallery cell under `neg_*` keys — the negative cell the
+        reference's triplet branch expects from its dataset
+        (training/coarse.py:47-50; the reference dataset never actually
+        produces `negative_cells`, making that branch dead code — this is
+        the working equivalent, like losses.nt_xent for the dead NT_Xent).
         """
         pi = np.asarray(pose_indices)
         cells = self.pose_cell_idx[pi]
@@ -265,6 +273,19 @@ class MultiSceneArrays:
                 if len(cand):
                     cells[i] = cand[sample_close_rng.integers(len(cand))]
         out = self.gather_cell_objects(cells, object_size)
+        if negative_rng is not None:
+            assert self.num_cells > 1, "triplet negatives need >= 2 cells"
+            # Uniform over the other C-1 cells: draw in [0, C-1) and shift
+            # past the positive index.
+            neg = negative_rng.integers(
+                0, self.num_cells - 1, size=len(pi)
+            ).astype(np.int32)
+            neg = np.where(neg >= cells, neg + 1, neg)
+            out.update(
+                {f"neg_{k}": v
+                 for k, v in self.gather_cell_objects(neg, object_size).items()}
+            )
+            out["neg_cell_index"] = neg
         out.update(
             cell_index=cells.astype(np.int32),
             hint_dir=self.hint_dir[pi],

@@ -61,6 +61,44 @@ def render_cell_3d(data, cell_idx: int, out_path: Optional[str] = None,
     return fig
 
 
+def render_flythrough(data, cell_idx: int, out_dir: str, num_frames: int = 12,
+                      elev: float = 35.0, size: int = 128) -> list:
+    """Camera-orbit frame sequence around a cell — the headless equivalent of
+    the reference's interactive pptk flythrough capture
+    (datapreparation/kitti360pose/rendering.py:31-70, which drives a live
+    viewer along a camera path and screenshots each step). Writes
+    `frame_####.png` files along a full azimuth orbit and returns their paths;
+    stitch with ffmpeg/imageio for a video.
+    """
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    xyz = data.obj_xyz[cell_idx]
+    rgb = data.obj_rgb[cell_idx]
+    mask = data.obj_mask[cell_idx]
+    pts = xyz[mask].reshape(-1, 3)
+    cols = np.clip(rgb[mask].reshape(-1, 3), 0.0, 1.0)
+
+    fig = plt.figure(figsize=(size / 32, size / 32))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=cols, s=1, linewidths=0)
+    ax.set_box_aspect((1, 1, 0.4))
+    ax.set_axis_off()
+    for i, azim in enumerate(np.linspace(0.0, 360.0, num_frames, endpoint=False)):
+        ax.view_init(elev=elev, azim=float(azim))
+        p = os.path.join(out_dir, f"frame_{i:04d}.png")
+        fig.savefig(p, dpi=64)
+        paths.append(p)
+    plt.close(fig)
+    return paths
+
+
 def render_pose_in_cell(data, pose_idx: int, size: int = 256,
                         pred_in_cell: Optional[np.ndarray] = None) -> np.ndarray:
     """Top-down render of a pose in its best cell: described (matched) objects

@@ -48,12 +48,17 @@ def train_coarse(
     resume: bool = False,
     data_test: Optional[MultiSceneArrays] = None,
     pointnet_ckpt: Optional[str] = None,
+    eval_train: bool = False,
 ) -> Tuple[steps_lib.TrainState, CellRetrievalNetwork, MetricLogger]:
     """Train the retrieval towers; returns (best-or-final state, model, log).
 
     `data_test`, when given, is evaluated once with the final best state (the
     reference evaluates test every epoch, coarse.py:283-287; a single final
     eval avoids leaking test signal into any decision).
+
+    `eval_train`: also run per-epoch retrieval eval on the TRAIN split — the
+    overfitting signal the reference logs every epoch (coarse.py:283-287).
+    Off by default (it costs a full gallery+query encode per epoch).
 
     `pointnet_ckpt`: optional published PointNet .pth to graft into the
     object tower before training — the reference's default flow
@@ -122,6 +127,13 @@ def train_coarse(
     timer = StageTimer()
     order_rng = np.random.default_rng(t.seed)
     close_rng = np.random.default_rng(t.seed + 7) if t.sample_close_cell else None
+    # Triplet training draws one random non-matching gallery cell per sample
+    # (working version of the reference's dead negative_cells branch,
+    # training/coarse.py:47-50).
+    neg_rng = (
+        np.random.default_rng(t.seed + 13)
+        if t.loss.ranking_loss == "triplet" else None
+    )
     best_state = state
     best_val = -np.inf
     for epoch in range(start_epoch, t.epochs):
@@ -131,7 +143,8 @@ def train_coarse(
             for bstart in range(0, len(perm), t.batch_size):
                 idx = perm[bstart : bstart + t.batch_size]
                 batch = put(data_train.gather_coarse(
-                    idx, cfg.model.object_size, sample_close_rng=close_rng
+                    idx, cfg.model.object_size, sample_close_rng=close_rng,
+                    negative_rng=neg_rng,
                 ))
                 rng, srng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, srng)
@@ -140,6 +153,12 @@ def train_coarse(
         mean_loss = float(np.mean([float(l) for l in losses]))
 
         row = {"loss": mean_loss}
+        if eval_train and (epoch + 1) % eval_every == 0:
+            with timer.stage("eval_train"):
+                tr_acc, _, _ = eval_retrieval(
+                    data_train, state, model, embedder, cfg
+                )
+            row.update({f"train_recall@{k}": v for k, v in tr_acc.items()})
         if data_val is not None and (epoch + 1) % eval_every == 0:
             with timer.stage("eval_val"):
                 acc, acc_close, _ = eval_retrieval(
@@ -193,6 +212,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--debug_nans", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in --workdir")
+    ap.add_argument("--eval_train", action="store_true",
+                    help="also evaluate train-split recall every epoch "
+                         "(reference coarse.py:283-287); expensive")
     ap.add_argument("--text_table", default=None,
                     help="frozen T5 table .npz (scripts/build_t5_table.py); "
                          "default: compositional stand-in")
@@ -284,6 +306,7 @@ def main(argv=None):
         cfg, data_train, data_val, embedder,
         workdir=args.workdir, mesh=mesh, resume=args.resume,
         data_test=data_test, pointnet_ckpt=args.pointnet_ckpt,
+        eval_train=args.eval_train,
     )
 
 

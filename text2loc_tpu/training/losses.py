@@ -2,9 +2,11 @@
 
 JAX rebuilds of /root/reference/training/losses.py. The published coarse
 configuration trains with `ContrastiveLoss` (symmetric InfoNCE, temperature
-0.1, positive included in the denominator, :255-283); pairwise (:179-217),
-hardest (:286-355, the second, shadowing definition) and triplet losses are
-provided for config parity.
+0.1, positive included in the denominator, :255-283); pairwise (:179-217) and
+hardest (:286-355, the second, shadowing definition) are selectable via
+`make_retrieval_loss`; triplet (reference coarse.py:268) is wired through the
+coarse step's negative-cell branch (training/steps.py) — the reference's own
+triplet path is dead code (its dataset never produces `negative_cells`).
 
 The reference's NT_Xent cross-GPU gather is dead code (`GatherLayer` is never
 defined, :358-402); the working multi-chip equivalent here is `axis_name`:

@@ -90,14 +90,35 @@ def prepare_coarse_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
     return objects, text
 
 
+def prepare_negative_objects(batch, cfg: Config, rng) -> ObjectSet:
+    """ObjectSet for the `neg_*` cell of a triplet batch (gather_coarse with
+    `negative_rng`). No flip: the negative has no geometric relation to the
+    hints, so flipping it changes nothing about the triplet."""
+    xyz, rgb = augment.point_cloud_transform(
+        batch["neg_xyz"], batch["neg_rgb"], rng,
+        num_points=cfg.model.pointnet.num_points,
+        augment=cfg.train.pc_augment,
+    )
+    return ObjectSet(
+        xyz=xyz, rgb=rgb, center=batch["neg_center"], color=batch["neg_color"],
+        num_points=batch["neg_num_points"], class_idx=batch["neg_class_idx"],
+        color_idx=batch["neg_color_idx"], mask=batch["neg_mask"],
+    )
+
+
 def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedder,
                            cfg: Config, optimizer) -> Callable:
-    loss_fn_sel = losses.make_retrieval_loss(cfg.train.loss)
+    is_triplet = cfg.train.loss.ranking_loss == "triplet"
+    margin = cfg.train.loss.margin
+    loss_fn_sel = None if is_triplet else losses.make_retrieval_loss(cfg.train.loss)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
-        kaug, kdrop = jax.random.split(rng)
+        kaug, kdrop, kneg = jax.random.split(rng, 3)
         objects, text = prepare_coarse_batch(batch, embedder, cfg, kaug, train=True)
+        neg_objects = (
+            prepare_negative_objects(batch, cfg, kneg) if is_triplet else None
+        )
 
         def loss_of(params):
             (cell_emb, text_emb), updates = model.apply(
@@ -105,6 +126,23 @@ def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedd
                 objects, text, train=True,
                 mutable=["batch_stats"], rngs={"dropout": kdrop},
             )
+            if is_triplet:
+                # Negative tower pass chained AFTER the positive one so BN
+                # running stats see both batches, like the reference's
+                # sequential encode_objects calls (coarse.py:44-50).
+                neg_emb, updates = model.apply(
+                    {"params": params,
+                     "batch_stats": updates["batch_stats"]},
+                    neg_objects, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": kdrop},
+                    method=model.encode_objects,
+                )
+                # nn.TripletMarginLoss on the (normalized) tower outputs
+                # (reference coarse.py:268, :50).
+                loss = losses.triplet_margin_loss(
+                    text_emb, cell_emb, neg_emb, margin
+                )
+                return loss, updates["batch_stats"]
             # anchor = text, positive = cell (reference coarse.py:44-52).
             loss = loss_fn_sel(text_emb, cell_emb)
             return loss, updates["batch_stats"]
@@ -147,7 +185,9 @@ def make_coarse_encoders(model: CellRetrievalNetwork, embedder: HintTextEmbedder
 def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
                        train: bool) -> FineBatch:
     kp, kf = jax.random.split(rng)
-    if train and cfg.train.flip_poses:
+    # Fine-stage flips are gated separately and DEFAULT OFF: the reference
+    # fine recipe trains without them (training/fine.py:168, flip_pose=False).
+    if train and cfg.train.fine_flip_poses:
         batch = augment.flip_coarse(batch, kf)
     xyz, rgb = augment.point_cloud_transform(
         batch["xyz"], batch["rgb"], kp,
