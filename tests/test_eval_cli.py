@@ -76,47 +76,13 @@ def test_coarse_cli_loads_torch_checkpoint(tmp_path):
     import pytest
 
     torch = pytest.importorskip("torch")
-    from test_full_model_convert import ref_get_mlp, ref_get_mlp2
-    from test_pointnet_convert import make_pointnet_state_dict
+    from torch_fixtures import make_coarse_state_dict
 
     from text2loc_tpu.config import small_test_config
     from text2loc_tpu.evaluation.cli import main_coarse
 
     cfg = small_test_config().model
-    torch.manual_seed(7)
-    sd = {}
-    # object_encoder: PointNet + the four feature MLPs + merge.
-    for k, v in make_pointnet_state_dict(cfg.pointnet, nested=True).items():
-        sd[f"object_encoder.pointnet.{k}"] = v
-    d = cfg.coarse_embed_dim
-    pn_dim = cfg.pointnet.head_dims[1]
-    for name, net in {
-        "object_encoder.mlp_pointnet": ref_get_mlp([pn_dim, d]),
-        "object_encoder.color_encoder": ref_get_mlp([3, 64, d]),
-        "object_encoder.pos_encoder": ref_get_mlp([3, 64, d]),
-        "object_encoder.num_encoder": ref_get_mlp([1, 64, d]),
-        "object_encoder.mlp_merge": ref_get_mlp([4 * d, d]),
-        "language_encoder.inter_mlp": ref_get_mlp2([cfg.text_embed_dim, d]),
-    }.items():
-        for k, v in net.state_dict().items():
-            sd[f"{name}.{k}"] = v
-    for i in range(cfg.object_inter_num_layers):
-        layer = torch.nn.TransformerEncoderLayer(d, cfg.object_inter_num_heads,
-                                                 dim_feedforward=2 * d)
-        for k, v in layer.state_dict().items():
-            sd[f"obj_inter_module.{i}.{k}"] = v
-    for i in range(cfg.intra_num_layers):
-        layer = torch.nn.TransformerEncoderLayer(
-            cfg.text_embed_dim, cfg.intra_num_heads,
-            dim_feedforward=4 * cfg.text_embed_dim,
-        )
-        for k, v in layer.state_dict().items():
-            sd[f"language_encoder.intra_module.{i}.{k}"] = v
-    for i in range(cfg.inter_num_layers):
-        layer = torch.nn.TransformerEncoderLayer(d, cfg.inter_num_heads,
-                                                 dim_feedforward=4 * d)
-        for k, v in layer.state_dict().items():
-            sd[f"language_encoder.inter_module.{i}.{k}"] = v
+    sd = make_coarse_state_dict(cfg)
 
     path = str(tmp_path / "coarse.pth")
     torch.save(sd, path)

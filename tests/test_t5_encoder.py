@@ -1,0 +1,186 @@
+"""Online frozen-T5 path: flax forward == HF torch T5EncoderModel, and the
+precomputed table == the online encode over the full hint vocabulary.
+
+The real t5-large snapshot is absent from the container (zero egress); parity
+runs against randomly-initialized tiny torch T5 models (both feed-forward
+variants), and a real-weights equality test auto-runs when a local snapshot
+exists (same gate as tests/test_t5_table.py).
+"""
+
+import numpy as np
+import pytest
+
+from text2loc_tpu.models.t5_encoder import (
+    CompositionalOnlineEncoder,
+    T5OnlineEncoder,
+    convert_t5_encoder,
+    relative_position_buckets,
+)
+
+
+def _tiny_torch_t5(feed_forward_proj="relu", seed=0):
+    import torch
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
+    torch.manual_seed(seed)
+    cfg = HFT5Config(
+        vocab_size=100, d_model=16, d_kv=4, num_heads=2, d_ff=32,
+        num_layers=3, num_decoder_layers=0, feed_forward_proj=feed_forward_proj,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        dropout_rate=0.0,
+    )
+    return T5EncoderModel(cfg).eval()
+
+
+@pytest.mark.parametrize("ffn", ["relu", "gated-gelu"])
+def test_flax_t5_matches_torch(ffn):
+    import torch
+
+    from text2loc_tpu.models.t5_encoder import T5Encoder
+    from text2loc_tpu.models.torch_convert import to_numpy
+
+    tmodel = _tiny_torch_t5(ffn)
+    params, cfg = convert_t5_encoder(to_numpy(tmodel.state_dict()),
+                                     max_distance=20)
+    assert cfg.feed_forward_proj == ffn
+    assert cfg.relative_attention_num_buckets == 8
+    assert cfg.num_layers == 3 and cfg.d_model == 16
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 100, (3, 10)).astype(np.int32)
+    mask = np.ones((3, 10), np.int32)
+    mask[0, 6:] = 0  # ragged lengths exercise the key mask
+    mask[2, 4:] = 0
+
+    with torch.no_grad():
+        ref = tmodel(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).last_hidden_state.numpy()
+
+    import jax.numpy as jnp
+
+    ours = np.asarray(
+        T5Encoder(cfg).apply({"params": params}, jnp.asarray(ids),
+                             jnp.asarray(mask))
+    )
+    # Only real-token positions are contractual: HF computes padded-query
+    # rows too, but downstream consumers mask them out.
+    m = mask.astype(bool)
+    np.testing.assert_allclose(ours[m], ref[m], rtol=2e-4, atol=2e-5)
+
+
+def test_relative_position_buckets_match_torch():
+    import torch
+    from transformers.models.t5.modeling_t5 import T5Attention
+
+    L = 24
+    ref = T5Attention._relative_position_bucket(
+        torch.arange(L)[None, :] - torch.arange(L)[:, None],
+        bidirectional=True, num_buckets=32, max_distance=128,
+    ).numpy()
+    np.testing.assert_array_equal(relative_position_buckets(L), ref)
+
+
+def test_online_encoder_matches_table_over_vocabulary(tmp_path):
+    """The VERDICT done-condition, stub-model edition: build the frozen table
+    with `from_t5` and run the SAME weights through the online encoder — both
+    must agree over every hint-vocabulary sentence. (The real-snapshot
+    version runs in test_online_real_t5 when weights exist.)"""
+    import torch
+
+    from text2loc_tpu import constants as C
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+    from text2loc_tpu.models.torch_convert import to_numpy
+
+    class _NPTokenizer:
+        """Whitespace tokenizer speaking both HF tensor dialects."""
+
+        def __call__(self, texts, return_tensors, padding, truncation,
+                     max_length):
+            ids = np.zeros((len(texts), max_length), np.int64)
+            mask = np.zeros((len(texts), max_length), np.int64)
+            for i, t in enumerate(texts):
+                toks = t.split()[:max_length]
+                for j, w in enumerate(toks):
+                    ids[i, j] = (hash(w) % 99) + 1
+                mask[i, : len(toks)] = 1
+            if return_tensors == "pt":
+                return {"input_ids": torch.from_numpy(ids),
+                        "attention_mask": torch.from_numpy(mask)}
+            return {"input_ids": ids, "attention_mask": mask}
+
+    tok = _NPTokenizer()
+    tmodel = _tiny_torch_t5("relu")
+    table = HintTextEmbedder.from_t5(max_tokens=12, model=tmodel,
+                                     tokenizer=tok)
+
+    params, cfg = convert_t5_encoder(to_numpy(tmodel.state_dict()),
+                                     max_distance=20)
+    online = T5OnlineEncoder(params, cfg, tok, max_tokens=12)
+
+    sentences, hids = [], []
+    for d in range(C.NUM_DIRECTIONS):
+        for col in range(C.NUM_COLORS):
+            for lab in range(C.NUM_CLASSES):
+                sentences.append(C.render_hint(d, col, lab))
+                hids.append(int(C.hint_id(d, col, lab)))
+    emb, mask = online.encode(sentences)
+    tbl = np.asarray(table.table)[hids]
+    tmask = np.asarray(table.token_mask)[hids]
+    np.testing.assert_array_equal(mask, tmask)
+    np.testing.assert_allclose(emb[mask], tbl[tmask], rtol=2e-4, atol=2e-5)
+
+
+def test_compositional_online_matches_table_in_vocab():
+    from text2loc_tpu import constants as C
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+
+    table = HintTextEmbedder.compositional(embed_dim=16, max_tokens=10)
+    online = CompositionalOnlineEncoder(embed_dim=16, max_tokens=10)
+    s = C.render_hint(2, 3, 5)
+    emb, mask = online.encode([s, "A totally novel description sentence."])
+    hid = int(C.hint_id(2, 3, 5))
+    np.testing.assert_array_equal(emb[0], np.asarray(table.table)[hid])
+    np.testing.assert_array_equal(mask[0], np.asarray(table.token_mask)[hid])
+    # Novel sentence: deterministic non-zero embeddings for its words.
+    assert mask[1].sum() == 6
+    emb2, _ = online.encode(["A totally novel description sentence."])
+    np.testing.assert_array_equal(emb2[0], emb[1])
+
+
+def _local_t5():
+    import os
+
+    p = os.environ.get("TEXT2LOC_T5_PATH")
+    if p and os.path.exists(p):
+        return p
+    try:
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download("t5-large", local_files_only=True)
+    except Exception:
+        return None
+
+
+@pytest.mark.skipif(_local_t5() is None, reason="no local t5-large snapshot")
+def test_online_real_t5_matches_table():
+    from text2loc_tpu import constants as C
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+
+    path = _local_t5()
+    table = HintTextEmbedder.from_t5(path, max_tokens=32)
+    online = T5OnlineEncoder.from_snapshot(path, max_tokens=32)
+    sentences = [C.render_hint(d, c, l)
+                 for d in range(C.NUM_DIRECTIONS)
+                 for c in range(C.NUM_COLORS)
+                 for l in range(C.NUM_CLASSES)][:64]
+    emb, mask = online.encode(sentences)
+    hids = [int(C.hint_id(d, c, l))
+            for d in range(C.NUM_DIRECTIONS)
+            for c in range(C.NUM_COLORS)
+            for l in range(C.NUM_CLASSES)][:64]
+    tbl = np.asarray(table.table)[hids]
+    np.testing.assert_allclose(emb[mask], tbl[np.asarray(table.token_mask)[hids]],
+                               rtol=1e-3, atol=1e-4)

@@ -112,3 +112,56 @@ def test_localize_text_end_to_end(small_cfg, small_embedder, small_data):
 
     with pytest.raises(T.HintParseError):
         loc.localize_text(["Take me to the big glowing obelisk."])
+
+
+def test_localize_text_online_fallback(small_cfg, small_embedder, small_data):
+    """With an online encoder attached, out-of-vocabulary sentences no longer
+    raise: the batch is embedded through the frozen LLM and served via
+    `localize_embedded` (reference language_encoder.py:106-128 capability).
+    In-vocabulary batches still take the table fast path and agree exactly."""
+    from test_serving import _states
+
+    from text2loc_tpu.models.t5_encoder import CompositionalOnlineEncoder
+    from text2loc_tpu.serving import Localizer
+
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    online = CompositionalOnlineEncoder(
+        embed_dim=cfg.model.text_embed_dim,
+        max_tokens=cfg.model.max_hint_tokens,
+    )
+    loc = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                    online_encoder=online)
+    plain = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3)
+
+    q0 = T.render_description(data.hint_dir[0], data.hint_color[0],
+                              data.hint_label[0])
+    # 2 in-vocab sentences + 1 OOV fills num_mentioned=3 slots, so the OOV
+    # sentence actually reaches the online encoder (not truncated away).
+    oov = T.render_description(data.hint_dir[0][:2], data.hint_color[0][:2],
+                               data.hint_label[0][:2]
+                               ) + " Take me to the big glowing obelisk."
+
+    # OOV round trip: finite positions, valid gallery cells.
+    res = loc.localize_text([oov, q0])
+    assert res.position_w.shape == (2, 2)
+    assert np.isfinite(res.position_w).all()
+    assert (res.cell_indices >= 0).all()
+    assert (res.cell_indices < data.num_cells).all()
+
+    # The in-vocab fast path is unchanged by attaching an online encoder.
+    a = loc.localize_text([q0])
+    b = plain.localize_text([q0])
+    np.testing.assert_allclose(a.position_w, b.position_w, atol=1e-6)
+    np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+
+    # The stand-in embeds in-vocab sentences identically to the table, so the
+    # ONLINE path on an in-vocab+OOV batch keeps q0's in-vocab result close:
+    # its first num_mentioned sentences are the same embeddings.
+    np.testing.assert_allclose(res.position_w[1], b.position_w[0], atol=1e-5)
+    # Without an online encoder the same OOV batch still raises.
+    with pytest.raises(T.HintParseError):
+        plain.localize_text([oov])
+    # Empty descriptions are rejected on both paths.
+    with pytest.raises(T.HintParseError):
+        loc.localize_text([""])

@@ -75,6 +75,7 @@ class Localizer:
         precompute_fine: bool = True,
         chunk: int = 128,
         cache_path: Optional[str] = None,
+        online_encoder=None,
     ):
         self.data = data
         self.cfg = cfg
@@ -84,6 +85,15 @@ class Localizer:
         self._fine_state = fine_state
         self.mesh = mesh
         self._chunk = chunk
+        # Optional online sentence encoder (models/t5_encoder.T5OnlineEncoder
+        # or compatible): enables localize_text on sentences OUTSIDE the
+        # closed template vocabulary (reference language_encoder.py:106-128).
+        self.online_encoder = online_encoder
+        if online_encoder is not None:
+            assert online_encoder.embed_dim == embedder.embed_dim, (
+                "online encoder embed_dim must match the frozen table's "
+                f"({online_encoder.embed_dim} != {embedder.embed_dim})"
+            )
 
         encode_cells, encode_text = make_coarse_encoders(coarse_model, embedder, cfg)
         self._encode_text = encode_text
@@ -421,6 +431,40 @@ class Localizer:
         per bucket, not once per request size.
         """
         n_real = len(np.asarray(hint_dir))
+        pad = self._padder(n_real)
+        batch = {
+            "hint_dir": pad(hint_dir),
+            "hint_color": pad(hint_color),
+            "hint_label": pad(hint_label),
+        }
+        if sentence_mask is not None:
+            batch["sentence_mask"] = pad(np.asarray(sentence_mask, bool))
+        return self._localize_batch(batch, n_real,
+                                    has_mask=sentence_mask is not None)
+
+    def localize_embedded(self, token_embeds: np.ndarray,
+                          token_mask: np.ndarray,
+                          sentence_mask: np.ndarray) -> LocalizationResult:
+        """Localize from pre-embedded sentences (the online-encoder path).
+
+        token_embeds: [B, S, T, E] frozen-LLM token embeddings per hint
+        sentence (E must match the towers' text_embed_dim); token_mask:
+        [B, S, T] real-token validity; sentence_mask: [B, S] real-sentence
+        validity. Shares every downstream program with `localize` — the
+        embedded batch passes straight through `steps.embed_text_batch`.
+        """
+        token_embeds = np.asarray(token_embeds, np.float32)
+        assert token_embeds.ndim == 4, token_embeds.shape
+        n_real = len(token_embeds)
+        pad = self._padder(n_real)
+        batch = {
+            "token_embeds": pad(token_embeds),
+            "token_mask": pad(np.asarray(token_mask, bool)),
+            "sentence_mask": pad(np.asarray(sentence_mask, bool)),
+        }
+        return self._localize_batch(batch, n_real, has_mask=True)
+
+    def _padder(self, n_real: int):
         bucket = self._bucket(n_real)
 
         def pad(a):
@@ -429,22 +473,17 @@ class Localizer:
                 [a, np.repeat(a[-1:], bucket - n_real, axis=0)], axis=0
             ) if len(a) < bucket else a
 
-        batch = {
-            "hint_dir": pad(hint_dir),
-            "hint_color": pad(hint_color),
-            "hint_label": pad(hint_label),
-        }
-        if sentence_mask is not None:
-            batch["sentence_mask"] = pad(np.asarray(sentence_mask, bool))
+        return pad
 
+    def _localize_batch(self, batch, n_real: int,
+                        has_mask: bool) -> LocalizationResult:
         if self._serve is not None:
             # Single-dispatch path: top-k + fine refinement + world-coords in
             # one compiled program, one device->host transfer.
             sbatch = dict(batch)
-            sbatch.setdefault(
-                "sentence_mask",
-                np.ones(sbatch["hint_dir"].shape, bool),
-            )
+            if "sentence_mask" not in sbatch:
+                sbatch["sentence_mask"] = np.ones(sbatch["hint_dir"].shape,
+                                                  bool)
             cand_w, idx, scores = jax.device_get(self._serve(
                 self.coarse_state.params, self.coarse_state.batch_stats,
                 self.fine_state.params, self.fine_state.batch_stats,
@@ -479,7 +518,7 @@ class Localizer:
             hints = jnp.asarray(hints)[rep]
             smask = (
                 batch["sentence_mask"][rep]
-                if sentence_mask is not None
+                if has_mask
                 else np.ones(hints.shape[:2], bool)
             )
             pred = np.asarray(
@@ -492,14 +531,22 @@ class Localizer:
             fine_batch = self.data.gather_cell_objects(
                 flat, self.cfg.model.pad_size
             )
+            if "token_embeds" in batch:
+                fine_batch.update(
+                    token_embeds=batch["token_embeds"][rep],
+                    token_mask=batch["token_mask"][rep],
+                )
+            else:
+                fine_batch.update(
+                    hint_dir=batch["hint_dir"][rep],
+                    hint_color=batch["hint_color"][rep],
+                    hint_label=batch["hint_label"][rep],
+                )
             fine_batch.update(
-                hint_dir=batch["hint_dir"][rep],
-                hint_color=batch["hint_color"][rep],
-                hint_label=batch["hint_label"][rep],
                 target=np.zeros((b * k, 2), np.float32),
                 pose_in_cell=np.zeros((b * k, 2), np.float32),
             )
-            if sentence_mask is not None:
+            if has_mask:
                 fine_batch["sentence_mask"] = batch["sentence_mask"][rep]
             pred = np.asarray(
                 self._fine_forward(
@@ -522,21 +569,52 @@ class Localizer:
         """Localize from raw natural-language description strings.
 
         The string front door the reference exposes through NLTK + T5
-        (language_encoder.py:106-121): each description is sentence-split and
+        (language_encoder.py:106-128): each description is sentence-split and
         parsed against the closed hint-template vocabulary
-        (text.parse_descriptions). Descriptions shorter than `num_mentioned`
-        are padded and masked; sentences outside the vocabulary raise
-        `text.HintParseError` (documented rejection — there is no online LLM
-        in the serving path; build a T5 table via
-        HintTextEmbedder.from_t5 / scripts/build_t5_table.py to extend the
-        vocabulary).
+        (text.parse_descriptions) — that fast path costs a table lookup.
+        Sentences OUTSIDE the vocabulary fall back to the online frozen-LLM
+        encoder (``online_encoder=``, models/t5_encoder.T5OnlineEncoder): the
+        whole batch is sentence-split, encoded on TPU, and served through
+        `localize_embedded`. Without an online encoder, out-of-vocabulary
+        sentences raise `text.HintParseError` (documented rejection).
+        Descriptions shorter than `num_mentioned` are padded and masked
+        either way.
         """
-        from text2loc_tpu.text import parse_descriptions
+        from text2loc_tpu.text import (
+            HintParseError,
+            parse_descriptions,
+            split_description,
+        )
 
-        parsed = parse_descriptions(
-            descriptions, num_mentioned=self.cfg.model.num_mentioned
-        )
-        return self.localize(
-            parsed["hint_dir"], parsed["hint_color"], parsed["hint_label"],
-            sentence_mask=parsed["sentence_mask"],
-        )
+        s_max = self.cfg.model.num_mentioned
+        try:
+            parsed = parse_descriptions(descriptions, num_mentioned=s_max)
+        except HintParseError:
+            if self.online_encoder is None:
+                raise
+        else:
+            return self.localize(
+                parsed["hint_dir"], parsed["hint_color"], parsed["hint_label"],
+                sentence_mask=parsed["sentence_mask"],
+            )
+
+        # Online fallback: encode every sentence of the batch through the
+        # frozen LLM (one device batch), scatter into the [B, S, T, E] layout.
+        sent_lists = [split_description(d)[:s_max] for d in descriptions]
+        if any(len(sl) == 0 for sl in sent_lists):
+            raise HintParseError("empty description")
+        flat = [s for sl in sent_lists for s in sl]
+        emb, tmask = self.online_encoder.encode(flat)
+        t, e = emb.shape[1:]
+        b = len(sent_lists)
+        token_embeds = np.zeros((b, s_max, t, e), np.float32)
+        token_mask = np.zeros((b, s_max, t), bool)
+        sentence_mask = np.zeros((b, s_max), bool)
+        pos = 0
+        for i, sl in enumerate(sent_lists):
+            n = len(sl)
+            token_embeds[i, :n] = emb[pos : pos + n]
+            token_mask[i, :n] = tmask[pos : pos + n]
+            sentence_mask[i, :n] = True
+            pos += n
+        return self.localize_embedded(token_embeds, token_mask, sentence_mask)

@@ -57,6 +57,23 @@ def make_optimizer(cfg: Config, steps_per_epoch: int, lr: Optional[float] = None
     return optax.adam(sched)
 
 
+def embed_text_batch(embedder: HintTextEmbedder, batch) -> TextSet:
+    """TextSet from a batch dict: table lookup for hint triples, or a direct
+    pass-through when the batch already carries embedded sentences
+    (`token_embeds`/`token_mask` [B, S, T, E]/[B, S, T] — the online-encoder
+    path for out-of-vocabulary queries, models/t5_encoder.py)."""
+    if "token_embeds" in batch:
+        return TextSet(
+            jnp.asarray(batch["token_embeds"]),
+            jnp.asarray(batch["token_mask"], bool),
+            jnp.asarray(batch["sentence_mask"], bool),
+        )
+    return embedder.embed(
+        batch["hint_dir"], batch["hint_color"], batch["hint_label"],
+        sentence_mask=batch.get("sentence_mask"),
+    )
+
+
 def _build_object_set(batch: Dict[str, jnp.ndarray], xyz, rgb) -> ObjectSet:
     return ObjectSet(
         xyz=xyz,
@@ -172,8 +189,7 @@ def make_coarse_encoders(model: CellRetrievalNetwork, embedder: HintTextEmbedder
         )
 
     def encode_text(params, batch_stats, batch):
-        text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"],
-                              sentence_mask=batch.get("sentence_mask"))
+        text = embed_text_batch(embedder, batch)
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             text, train=False, method=model.encode_text,
@@ -195,8 +211,7 @@ def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
         augment=train and cfg.train.pc_augment,
     )
     objects = _build_object_set(batch, xyz, rgb)
-    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"],
-                          sentence_mask=batch.get("sentence_mask"))
+    text = embed_text_batch(embedder, batch)
     return FineBatch(
         objects=objects, text=text,
         target=batch["target"], pose_in_cell=batch["pose_in_cell"],
@@ -286,10 +301,7 @@ def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
         )
 
     def _embed(batch):
-        return embedder.embed(
-            batch["hint_dir"], batch["hint_color"], batch["hint_label"],
-            sentence_mask=batch.get("sentence_mask"),
-        )
+        return embed_text_batch(embedder, batch)
 
     def encode_text(params, batch_stats, batch):
         return model.apply(
