@@ -1,0 +1,100 @@
+"""TPU serving specializations of the transformer layers are EXACT:
+grouped (sample-folded) attention == stock per-sample attention, and the
+fused add+LayerNorm kernel == the composable ops."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2loc_tpu.models.transformer import (
+    TorchDecoderLayer,
+    grouped_dot_product_attention,
+)
+from text2loc_tpu.ops.pallas_ln import (
+    add_layernorm_reference,
+    fused_add_layernorm,
+)
+
+
+@pytest.mark.parametrize("b,lq,lk", [(37, 16, 16), (40, 16, 6), (8, 6, 16),
+                                     (3, 6, 6)])
+def test_grouped_attention_matches_stock(b, lq, lk):
+    rng = np.random.default_rng(0)
+    h, dh = 4, 32
+    q = jnp.asarray(rng.standard_normal((b, lq, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    key_valid = rng.random((b, lk)) > 0.2
+    key_valid[:, 0] = True                     # never a fully-masked row
+    mask = jnp.asarray(key_valid)[:, None, None, :].repeat(lq, axis=2)
+
+    from flax import linen as nn
+
+    ref = nn.dot_product_attention(q, k, v, mask=mask, deterministic=True)
+    got = grouped_dot_product_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # Unmasked variant too.
+    ref = nn.dot_product_attention(q, k, v, deterministic=True)
+    got = grouped_dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_decoder_layer_grouped_equals_stock(monkeypatch):
+    """The whole decoder layer at eval: grouped path == env-disabled path."""
+    rng = np.random.default_rng(1)
+    b, lt, lm, d = 19, 16, 6, 128
+    layer = TorchDecoderLayer(d_model=d, num_heads=4, dim_feedforward=4 * d)
+    tgt = jnp.asarray(rng.standard_normal((b, lt, d)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((b, lm, d)), jnp.float32)
+    mmask = jnp.asarray(rng.random((b, lm)) > 0.3)
+    variables = layer.init(jax.random.PRNGKey(0), tgt, mem)
+
+    def run():
+        return np.asarray(layer.apply(variables, tgt, mem, memory_mask=mmask))
+
+    monkeypatch.setenv("TEXT2LOC_GROUPED_ATTN", "1")
+    a = run()
+    monkeypatch.setenv("TEXT2LOC_GROUPED_ATTN", "0")
+    b_ = run()
+    np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_add_layernorm_matches_reference():
+    rng = np.random.default_rng(2)
+    for shape, dt in (((531, 128), jnp.float32), ((7, 16, 128), jnp.bfloat16),
+                      ((64, 1024), jnp.float32)):
+        x = jnp.asarray(rng.standard_normal(shape), dt)
+        r = jnp.asarray(rng.standard_normal(shape), dt)
+        g = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+        ref = add_layernorm_reference(x, r, g, b)
+        got = fused_add_layernorm(x, r, g, b, interpret=True)
+        # bf16 outputs can differ by one ulp (~0.8%) from rounding order.
+        tol = 1e-2 if dt == jnp.bfloat16 else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+
+def test_param_tree_unchanged():
+    """The optimized modules keep the stock flax param layout — converted
+    torch checkpoints and round-2 trained states load unchanged."""
+    layer = TorchDecoderLayer(d_model=32, num_heads=4, dim_feedforward=64)
+    v = layer.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 32)),
+                   jnp.zeros((2, 3, 32)))
+    p = v["params"]
+    assert set(p) == {"self_attn", "cross_attn", "linear1", "linear2",
+                      "norm1", "norm2", "norm3"}
+    for attn in ("self_attn", "cross_attn"):
+        assert set(p[attn]) == {"query", "key", "value", "out"}
+        assert p[attn]["query"]["kernel"].shape == (32, 4, 8)
+        assert p[attn]["out"]["kernel"].shape == (4, 8, 32)
+    for norm in ("norm1", "norm2", "norm3"):
+        assert set(p[norm]) == {"scale", "bias"}
+        assert p[norm]["scale"].shape == (32,)

@@ -127,10 +127,12 @@ class TrainConfig:
     shuffle_hints: bool = True
     flip_poses: bool = True               # coarse stage
     # The reference FINE recipe trains WITHOUT flips (training/fine.py:168
-    # constructs its dataset with flip_pose=False), so the fine trainer has
-    # its own switch defaulting off; opt in to A/B the augmentation
-    # (scripts/probe_mixed_train.py is the on-chip harness template).
-    fine_flip_poses: bool = False
+    # constructs its dataset with flip_pose=False). A 400-step full-size
+    # on-chip A/B (scripts/probe_fine_flip.py, BENCHMARKS.md) measured
+    # BETTER held-out pose error WITH flips (0.2227 vs 0.2419; worse train
+    # fit 0.214 vs 0.165 — classic augmentation), so the default keeps them;
+    # set False (CLI --fine_flip_poses off) for the exact reference recipe.
+    fine_flip_poses: bool = True
     pc_augment: bool = True               # random z-rotation + normalize-scale
     sample_close_cell: bool = False       # positive = any cell within
                                           # cell_size/2 (cells.py:69-74)

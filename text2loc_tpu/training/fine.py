@@ -203,10 +203,12 @@ def main(argv=None):
 
     ap = build_argparser()
     ap.add_argument("--pmc_prob", type=float, default=None)
-    ap.add_argument("--fine_flip_poses", action="store_true",
-                    help="opt-in pose-flip augmentation for the fine stage "
-                         "(the reference fine recipe trains WITHOUT flips, "
-                         "fine.py:168 flip_pose=False — the default here)")
+    ap.add_argument("--fine_flip_poses", choices=("on", "off"), default=None,
+                    help="pose-flip augmentation for the fine stage. Default "
+                         "on: a 400-step on-chip A/B measured better "
+                         "held-out pose error with flips (BENCHMARKS.md). "
+                         "'off' reproduces the exact reference recipe "
+                         "(fine.py:168 flip_pose=False)")
     args = ap.parse_args(argv)
     cfg = Config().validate()
     # Fine keeps an f32 body by default: the mixed-body A/B measured
@@ -216,9 +218,11 @@ def main(argv=None):
         import dataclasses
 
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, pmc_prob=args.pmc_prob))
-    if args.fine_flip_poses:
+    if args.fine_flip_poses is not None:
         cfg = cfg.replace(
-            train=dataclasses.replace(cfg.train, fine_flip_poses=True)
+            train=dataclasses.replace(
+                cfg.train, fine_flip_poses=args.fine_flip_poses == "on"
+            )
         )
     if args.debug_nans:
         from text2loc_tpu.utils.debug import enable_nan_debugging
