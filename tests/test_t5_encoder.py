@@ -150,6 +150,40 @@ def test_compositional_online_matches_table_in_vocab():
     np.testing.assert_array_equal(emb2[0], emb[1])
 
 
+def test_online_encoder_bucketing_and_empty():
+    """Non-power-of-two batches pad to a bucket (one compile per bucket) and
+    slice back; the empty batch short-circuits."""
+    import torch
+
+    from text2loc_tpu.models.torch_convert import to_numpy
+
+    class _Tok:
+        def __call__(self, texts, return_tensors, padding, truncation,
+                     max_length):
+            ids = np.zeros((len(texts), max_length), np.int64)
+            mask = np.zeros((len(texts), max_length), np.int64)
+            for i, t in enumerate(texts):
+                toks = t.split()[:max_length]
+                for j, w in enumerate(toks):
+                    ids[i, j] = (hash(w) % 99) + 1
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    tmodel = _tiny_torch_t5("relu")
+    params, cfg = convert_t5_encoder(to_numpy(tmodel.state_dict()),
+                                     max_distance=20)
+    online = T5OnlineEncoder(params, cfg, _Tok(), max_tokens=8)
+
+    e0, m0 = online.encode([])
+    assert e0.shape == (0, 8, 16) and m0.shape == (0, 8)
+
+    three = ["one two", "three four five", "six"]
+    e3, m3 = online.encode(three)                 # bucket 4, sliced to 3
+    assert e3.shape == (3, 8, 16)
+    e1, _ = online.encode([three[1]])             # bucket 1
+    np.testing.assert_allclose(e3[1], e1[0], rtol=1e-5, atol=1e-6)
+
+
 def _local_t5():
     import os
 
