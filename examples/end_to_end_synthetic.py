@@ -88,6 +88,24 @@ def main():
     print(f"-> position {np.round(res.position_w[0], 1)} "
           f"(gt {np.round(val_data.pose_w[0, :2], 1)})")
 
+    # Out-of-vocabulary free text goes through the online frozen-LLM path
+    # (a real deployment attaches T5OnlineEncoder.from_snapshot("t5-large");
+    # the compositional stand-in needs no weights).
+    from text2loc_tpu.models.t5_encoder import CompositionalOnlineEncoder
+
+    loc_oov = Localizer(val_data, coarse_state, coarse_model, fine_state,
+                        fine_model, embedder, cfg, top_k=3,
+                        online_encoder=CompositionalOnlineEncoder(
+                            embed_dim=cfg.model.text_embed_dim,
+                            max_tokens=cfg.model.max_hint_tokens))
+    # 2 in-vocab hints + 1 novel sentence (fills the num_mentioned=3 slots).
+    oov = render_description(
+        val_data.hint_dir[0][:2], val_data.hint_color[0][:2],
+        val_data.hint_label[0][:2],
+    ) + " Take me to the glowing obelisk."
+    res = loc_oov.localize_text([oov])
+    print(f'OOV query served online -> {np.round(res.position_w[0], 1)}')
+
 
 if __name__ == "__main__":
     main()
