@@ -20,7 +20,8 @@ def test_language_encoder_ignores_padded_tokens():
     token_mask[:, :, :4] = True
     sent_mask = np.ones((b, s), bool)
 
-    le = LanguageEncoder(embed_dim=8, is_fine=True, mask_padded=True)
+    le = LanguageEncoder(embed_dim=8, token_dim=e, is_fine=True,
+                         mask_padded=True)
     variables = jax.jit(lambda r, ts: le.init(r, ts, train=False))(
         jax.random.PRNGKey(0),
         TextSet(jnp.asarray(emb), jnp.asarray(token_mask), jnp.asarray(sent_mask)),
@@ -39,6 +40,70 @@ def test_language_encoder_ignores_padded_tokens():
     noisy = emb.copy()
     noisy[:, :, 4:] = 1e3
     np.testing.assert_allclose(run(noisy), base, rtol=1e-4, atol=1e-5)
+
+
+def test_language_encoder_split_equals_full(small_cfg, small_embedder, small_data):
+    """encode_text == encode_text_from_sentences(encode_text_sentences(t)) —
+    the factorization behind the serving-time sentence table; and the fine
+    trunk over the vocabulary gathered by hint id == encode_hints."""
+    import jax.random as jr
+
+    from text2loc_tpu import constants as C
+    from text2loc_tpu.data.batch import TextSet
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+    from text2loc_tpu.models.cross_matcher import CrossMatch
+    from text2loc_tpu.training import steps
+
+    cfg, embedder, data = small_cfg, small_embedder, small_data
+    rng = jr.PRNGKey(0)
+    opt = steps.make_optimizer(cfg, 1)
+
+    batch = data.gather_coarse(np.arange(6), cfg.model.object_size)
+    objects, text = steps.prepare_coarse_batch(batch, embedder, cfg, rng,
+                                               train=False)
+    model = CellRetrievalNetwork(cfg.model)
+    state = steps.init_train_state(model, opt, rng, objects, text)
+
+    def ap(method, *a):
+        return model.apply({"params": state.params,
+                            "batch_stats": state.batch_stats},
+                           *a, train=False, method=method)
+
+    full = np.asarray(ap(model.encode_text, text))
+    sent = ap(model.encode_text_sentences, text)
+    split = np.asarray(ap(model.encode_text_from_sentences, sent,
+                          text.sentence_mask))
+    np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-6)
+
+    # Vocabulary-table path: trunk over [V, 1] sentences, gathered by id.
+    v = C.hint_vocab_size()
+    vocab = TextSet(embedder.table[:, None], embedder.token_mask[:, None],
+                    jnp.ones((v, 1), bool))
+    tbl = np.asarray(ap(model.encode_text_sentences, vocab))[:, 0]  # [V, D]
+    ids = np.asarray(C.hint_id(batch["hint_dir"], batch["hint_color"],
+                               batch["hint_label"]))
+    gathered = np.asarray(ap(
+        model.encode_text_from_sentences, jnp.asarray(tbl[ids]),
+        text.sentence_mask,
+    ))
+    np.testing.assert_allclose(gathered, full, rtol=1e-4, atol=1e-5)
+
+    # Fine tower: encode_hints == fine-table gather.
+    fb = data.gather_fine(np.arange(6), cfg.model.pad_size)
+    pfb = steps.prepare_fine_batch(fb, embedder, cfg, rng, train=False)
+    fmodel = CrossMatch(cfg.model)
+    fstate = steps.init_train_state(fmodel, opt, rng, pfb.objects, pfb.text)
+
+    def fap(method, *a):
+        return fmodel.apply({"params": fstate.params,
+                             "batch_stats": fstate.batch_stats},
+                            *a, train=False, method=method)
+
+    hints_full = np.asarray(fap(fmodel.encode_hints, pfb.text))
+    ftbl = np.asarray(fap(fmodel.encode_hints, vocab))[:, 0]
+    fids = np.asarray(C.hint_id(fb["hint_dir"], fb["hint_color"],
+                                fb["hint_label"]))
+    np.testing.assert_allclose(ftbl[fids], hints_full, rtol=1e-4, atol=1e-5)
 
 
 def test_encode_queries_threads_hint_mask(small_cfg, small_embedder):

@@ -51,6 +51,7 @@ class CellRetrievalNetwork(nn.Module):
         ]
         self.language_encoder = LanguageEncoder(
             embed_dim=cfg.coarse_embed_dim,
+            token_dim=cfg.text_embed_dim,
             is_fine=False,
             intra_num_layers=cfg.intra_num_layers,
             intra_num_heads=cfg.intra_num_heads,
@@ -63,6 +64,26 @@ class CellRetrievalNetwork(nn.Module):
 
     def encode_text(self, text: TextSet, train: bool = False) -> jnp.ndarray:
         enc = self.language_encoder(text, train=train)
+        return l2_normalize(enc.astype(jnp.float32))
+
+    def encode_text_sentences(self, text: TextSet, train: bool = False):
+        """Per-sentence trunk only: [B, S, T, E] -> [B, S, D] (no inter head,
+        no normalize). At eval this is a pure function of each sentence —
+        serving precomputes it over the closed vocabulary once
+        (LanguageEncoder.encode_sentences docstring)."""
+        return self.language_encoder.encode_sentences(text, train=train)
+
+    def encode_text_from_sentences(self, sent_emb, sentence_mask,
+                                   train: bool = False) -> jnp.ndarray:
+        """Cross-sentence head: [B, S, D] (+mask) -> normalized [B, D].
+
+        encode_text == encode_text_from_sentences(encode_text_sentences(t),
+        t.sentence_mask) — oracle-tested; the serving path feeds gathered
+        table rows instead of a fresh trunk pass."""
+        enc = self.language_encoder.finish_coarse(
+            sent_emb.astype(jnp.dtype(self.cfg.dtype)), sentence_mask,
+            train=train,
+        )
         return l2_normalize(enc.astype(jnp.float32))
 
     def encode_objects(self, objects: ObjectSet, train: bool = False) -> jnp.ndarray:

@@ -44,6 +44,7 @@ class CrossMatch(nn.Module):
         )
         self.language_encoder = LanguageEncoder(
             embed_dim=cfg.fine_embed_dim,
+            token_dim=cfg.text_embed_dim,
             is_fine=True,
             intra_num_layers=cfg.fine_intra_num_layers,
             intra_num_heads=cfg.fine_intra_num_heads,

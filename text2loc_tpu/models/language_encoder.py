@@ -15,6 +15,15 @@ structure:
     -> max-pool over sentences -> [B, D]                             (:147)
   fine path (is_fine=True): return [B, S, D]                         (:140-141)
 
+The stack is split at the [B, S, D] boundary into `encode_sentences` (the
+PER-SENTENCE trunk) and `finish_coarse` (the cross-sentence head): at eval
+the trunk is a pure function of ONE sentence's frozen token embeddings
+(running-stat BatchNorm, per-sentence attention/pooling), so over the closed
+hint vocabulary it collapses to a [V, D] table computed once per weights —
+the serving path gathers it instead of running the intra stack per query
+(serving.Localizer; the same frozen-pure-function argument that replaced the
+per-batch T5 forward with the [V, T, E] table).
+
 TPU deviation (documented): pooling and attention are masked over real
 tokens/sentences; the reference max-pools over pad-to-longest token positions,
 which makes its outputs depend on batch composition.
@@ -26,13 +35,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from text2loc_tpu.data.batch import TextSet
-from text2loc_tpu.models.mlp import get_mlp2
+from text2loc_tpu.models.mlp import MLP
 from text2loc_tpu.models.transformer import TorchEncoderLayer
 from text2loc_tpu.ops.masked import masked_max
 
 
 class LanguageEncoder(nn.Module):
     embed_dim: int                    # output D (coarse 256 / fine 128)
+    token_dim: int                    # E of the frozen token embeddings
     is_fine: bool = False
     intra_num_layers: int = 1
     intra_num_heads: int = 4
@@ -42,50 +52,79 @@ class LanguageEncoder(nn.Module):
     mask_padded: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, text: TextSet, train: bool = False):
-        b, s, t, e = text.token_embeds.shape
-        x = text.token_embeds.reshape(b * s, t, e).astype(self.dtype)
-        token_mask = text.token_mask.reshape(b * s, t)
-        sent_mask = text.sentence_mask.reshape(b * s)
-
-        attn_token_mask = token_mask if self.mask_padded else None
-        for i in range(self.intra_num_layers):
-            x = TorchEncoderLayer(
+    def setup(self):
+        e = self.token_dim
+        self.intra = [
+            TorchEncoderLayer(
                 d_model=e,
                 num_heads=self.intra_num_heads,
                 dim_feedforward=4 * e,
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
                 name=f"intra_{i}",
-            )(x, mask=attn_token_mask, train=train)
+            )
+            for i in range(self.intra_num_layers)
+        ]
+        # get_mlp2 semantics (Linear+BN, no trailing ReLU); channels[0] is
+        # the (unused) input dim — Dense infers it.
+        self.inter_mlp = MLP(
+            channels=(e, self.embed_dim), tail="bn", dtype=self.dtype,
+            name="inter_mlp",
+        )
+        if not self.is_fine:
+            self.inter = [
+                TorchEncoderLayer(
+                    d_model=self.embed_dim,
+                    num_heads=self.inter_num_heads,
+                    dim_feedforward=4 * self.embed_dim,
+                    dropout_rate=self.dropout_rate,
+                    dtype=self.dtype,
+                    name=f"inter_{i}",
+                )
+                for i in range(self.inter_num_layers)
+            ]
+
+    def encode_sentences(self, text: TextSet, train: bool = False):
+        """Per-sentence trunk: [B, S, T, E] -> [B, S, D].
+
+        Each output row depends only on ITS sentence's tokens (+ the frozen
+        weights/running stats at eval) — the foundation of the serving-time
+        sentence-embedding table."""
+        b, s, t, e = text.token_embeds.shape
+        assert e == self.token_dim, (e, self.token_dim)
+        x = text.token_embeds.reshape(b * s, t, e).astype(self.dtype)
+        token_mask = text.token_mask.reshape(b * s, t)
+        sent_mask = text.sentence_mask.reshape(b * s)
+
+        attn_token_mask = token_mask if self.mask_padded else None
+        for layer in self.intra:
+            x = layer(x, mask=attn_token_mask, train=train)
 
         if self.mask_padded:
             x = masked_max(x, token_mask, axis=1)      # [B*S, E]
         else:
             x = jnp.max(x, axis=1)
 
-        x = get_mlp2([e, self.embed_dim], dtype=self.dtype, name="inter_mlp")(
+        x = self.inter_mlp(
             x, mask=sent_mask if self.mask_padded else None, train=train
         )
-        x = x.reshape(b, s, self.embed_dim)
+        return x.reshape(b, s, self.embed_dim)
 
-        if self.is_fine:
-            return x                                    # [B, S, D]
-
-        smask = text.sentence_mask if self.mask_padded else None
-        for i in range(self.inter_num_layers):
+    def finish_coarse(self, x, sentence_mask, train: bool = False):
+        """Cross-sentence head: [B, S, D] -> [B, D] (coarse path only)."""
+        assert not self.is_fine
+        smask = sentence_mask if self.mask_padded else None
+        for layer in self.inter:
             # Reference quirk kept for parity: additive residual on top of the
             # layer's own residual stream (language_encoder.py:145).
-            x = x + TorchEncoderLayer(
-                d_model=self.embed_dim,
-                num_heads=self.inter_num_heads,
-                dim_feedforward=4 * self.embed_dim,
-                dropout_rate=self.dropout_rate,
-                dtype=self.dtype,
-                name=f"inter_{i}",
-            )(x, mask=smask, train=train)
+            x = x + layer(x, mask=smask, train=train)
 
         if self.mask_padded:
-            return masked_max(x, text.sentence_mask, axis=1)  # [B, D]
+            return masked_max(x, sentence_mask, axis=1)  # [B, D]
         return jnp.max(x, axis=1)
+
+    def __call__(self, text: TextSet, train: bool = False):
+        x = self.encode_sentences(text, train=train)
+        if self.is_fine:
+            return x                                    # [B, S, D]
+        return self.finish_coarse(x, text.sentence_mask, train=train)

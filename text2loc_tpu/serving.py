@@ -83,6 +83,8 @@ class Localizer:
         self.embedder = embedder
         self._coarse_state = coarse_state
         self._fine_state = fine_state
+        self._coarse_model = coarse_model
+        self._fine_model = fine_model
         self.mesh = mesh
         self._chunk = chunk
         # Optional online sentence encoder (models/t5_encoder.T5OnlineEncoder
@@ -156,6 +158,18 @@ class Localizer:
         if cache_dirty:
             self._save_cache(cache_path, np.asarray(gallery))
 
+        # Sentence-embedding tables: at eval, the text towers' per-sentence
+        # trunk (intra stack + token pool + inter_mlp) is a pure function of
+        # one sentence's frozen token embeddings — so over the CLOSED hint
+        # vocabulary it collapses to [V, D] tables computed once per weights
+        # (LanguageEncoder.encode_sentences). In-vocabulary queries then cost
+        # a gather (+ the tiny coarse inter head) instead of the full intra
+        # stack at E=1024 — the dominant per-query text cost. OOV/embedded
+        # batches keep the full trunk path.
+        self._coarse_sent_table, self._fine_sent_table = (
+            self._build_sentence_tables()
+        )
+
         # One-program serve path (cached gallery): every query is a SINGLE
         # dispatch + one readback. The stepwise flow pays a ~30 ms tunnel
         # round trip per host sync (top-k indices, fine preds, ...);
@@ -172,6 +186,30 @@ class Localizer:
                 self._serve = self._build_serve()
             else:
                 self._serve = self._build_serve_sharded(mesh)
+
+    def _build_sentence_tables(self):
+        """([V, Dc], [V, Df]) per-sentence trunk outputs over the vocabulary."""
+        from text2loc_tpu.data.batch import TextSet
+
+        v = self.embedder.table.shape[0]
+        vocab = TextSet(
+            token_embeds=self.embedder.table[:, None],      # [V, 1, T, E]
+            token_mask=self.embedder.token_mask[:, None],
+            sentence_mask=jnp.ones((v, 1), bool),
+        )
+        coarse = jax.jit(
+            lambda p, s, t: self._coarse_model.apply(
+                {"params": p, "batch_stats": s}, t, train=False,
+                method=self._coarse_model.encode_text_sentences,
+            )
+        )(self.coarse_state.params, self.coarse_state.batch_stats, vocab)
+        fine = jax.jit(
+            lambda p, s, t: self._fine_model.apply(
+                {"params": p, "batch_stats": s}, t, train=False,
+                method=self._fine_model.encode_hints,
+            )
+        )(self.fine_state.params, self.fine_state.batch_stats, vocab)
+        return coarse[:, 0], fine[:, 0]                     # [V, D]
 
     def _cache_digest(self) -> str:
         """SHA-256 over everything the cached encodings are a function of:
@@ -277,20 +315,44 @@ class Localizer:
                 pass
             raise
 
+    def _encode_query_text(self, cparams, cstats, fparams, fstats, ctbl,
+                           ftbl, batch):
+        """(coarse query embedding [B, D], fine hint encodings [B, S, D]).
+
+        Closed-vocabulary batches (hint triples) gather the precomputed
+        sentence tables — no intra stack runs per query; embedded (OOV)
+        batches take the full trunk."""
+        from text2loc_tpu import constants as C
+
+        if "token_embeds" in batch:
+            text_enc = self._encode_text(cparams, cstats, batch)
+            hints = self._fine_fwd.encode_text(fparams, fstats, batch)
+            return text_enc, hints
+        ids = C.hint_id(batch["hint_dir"], batch["hint_color"],
+                        batch["hint_label"])
+        sm = jnp.asarray(batch["sentence_mask"], bool)
+        text_enc = self._coarse_model.apply(
+            {"params": cparams, "batch_stats": cstats},
+            jnp.take(ctbl, ids, axis=0), sm, train=False,
+            method=self._coarse_model.encode_text_from_sentences,
+        )
+        return text_enc, jnp.take(ftbl, ids, axis=0)
+
     def _build_serve(self):
-        encode_text = self._encode_text
         fine_fwd = self._fine_fwd
         k = self.top_k
+        encode_query_text = self._encode_query_text
 
         @jax.jit
         def serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
-                  fine_mask, bbox, size, batch):
-            text_enc = encode_text(cparams, cstats, batch)
+                  fine_mask, bbox, size, ctbl, ftbl, batch):
+            text_enc, hints = encode_query_text(
+                cparams, cstats, fparams, fstats, ctbl, ftbl, batch
+            )
             scores, idx = topk_retrieval(gallery, text_enc, k)
             b = text_enc.shape[0]
             rep = jnp.repeat(jnp.arange(b), k)
             flat = idx.reshape(-1)
-            hints = fine_fwd.encode_text(fparams, fstats, batch)
             pred = fine_fwd.cct(
                 fparams, fstats, fine_emb[flat], fine_mask[flat],
                 hints[rep], batch["sentence_mask"][rep],
@@ -331,7 +393,6 @@ class Localizer:
         n = mesh.devices.size
         c_pad = self._gallery.shape[0]
         num_cells = self._num_real_cells
-        encode_text = self._encode_text
         fine_fwd = self._fine_fwd
         k = self.top_k
         kl = min(k, c_pad // n)
@@ -357,9 +418,15 @@ class Localizer:
              self.fine_state.params, self.fine_state.batch_stats), rep,
         )
 
+        encode_query_text = self._encode_query_text
+
         def local_serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
-                        fine_mask, bbox, size, batch):
-            text_enc = encode_text(cparams, cstats, batch)       # [B, D]
+                        fine_mask, bbox, size, ctbl, ftbl, batch):
+            # Sentence tables are replicated (they're tiny); the text head is
+            # recomputed per shard like the rest of the text work.
+            text_enc, hints = encode_query_text(
+                cparams, cstats, fparams, fstats, ctbl, ftbl, batch
+            )                                                    # [B, D]
             s_loc, i_loc, g_loc = shard_local_topk(
                 gallery, text_enc, k, num_cells, ax
             )                                                    # [B, kl] x3
@@ -367,7 +434,6 @@ class Localizer:
             b = s_loc.shape[0]
             rep = jnp.repeat(jnp.arange(b), kl)
             flat = i_loc.reshape(-1)                             # local rows
-            hints = fine_fwd.encode_text(fparams, fstats, batch)
             pred = fine_fwd.cct(
                 fparams, fstats, fine_emb[flat], fine_mask[flat],
                 hints[rep], batch["sentence_mask"][rep],
@@ -383,7 +449,7 @@ class Localizer:
             local_serve,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax), P(ax), P(ax),
-                      P()),
+                      P(), P(), P()),
             out_specs=(P(), P(), P()),
             # Replicated by construction (all_gather + merge); VMA inference
             # can't prove it through the axis_index offset math.
@@ -392,7 +458,7 @@ class Localizer:
         jfn = jax.jit(fn)
 
         def serve(cparams, cstats, fparams, fstats, gallery, fine_emb,
-                  fine_mask, bbox, size, batch):
+                  fine_mask, bbox, size, ctbl, ftbl, batch):
             # Same signature as the dense serve; the mesh-resident operands
             # stored at build time replace the unsharded ones handed in by
             # localize().
@@ -401,7 +467,8 @@ class Localizer:
             cp, cst, fp, fst = self._params_rep
             cand_w, idx, scores = jfn(
                 cp, cst, fp, fst, gallery, self._fine_emb_sh,
-                self._fine_mask_sh, self._bbox_sh, self._size_sh, batch,
+                self._fine_mask_sh, self._bbox_sh, self._size_sh,
+                ctbl, ftbl, batch,
             )
             return cand_w, idx, scores
 
@@ -488,7 +555,8 @@ class Localizer:
                 self.coarse_state.params, self.coarse_state.batch_stats,
                 self.fine_state.params, self.fine_state.batch_stats,
                 self._gallery, self._fine_emb, self._fine_mask,
-                self._bbox_d, self._size_d, sbatch,
+                self._bbox_d, self._size_d,
+                self._coarse_sent_table, self._fine_sent_table, sbatch,
             ))
             return LocalizationResult(
                 position_w=cand_w[:n_real, 0],
