@@ -37,7 +37,7 @@ def _log(msg: str) -> None:
 
 ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
 V5E_PEAK_FLOPS = 197e12         # TPU v5e bf16 peak per chip
-NUM_POSES = 256
+NUM_POSES = int(os.environ.get("BENCH_POSES", "256"))  # serving-batch poses
 TOP_K = 10
 ITERS = 3
 # Flattened candidates per device batch on the raw (recompute) path. The

@@ -132,6 +132,7 @@ def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
 
     monkeypatch.setattr(serving_mod, "encode_gallery", boom)
     monkeypatch.setattr(serving_mod.steps_lib, "encode_fine_gallery", boom)
+    monkeypatch.setattr(serving_mod.Localizer, "_build_sentence_tables", boom)
     warm = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
                      cache_path=path)
 

@@ -155,9 +155,6 @@ class Localizer:
                 )
                 cache_dirty = cache_path is not None
 
-        if cache_dirty:
-            self._save_cache(cache_path, np.asarray(gallery))
-
         # Sentence-embedding tables: at eval, the text towers' per-sentence
         # trunk (intra stack + token pool + inter_mlp) is a pure function of
         # one sentence's frozen token embeddings — so over the CLOSED hint
@@ -165,10 +162,20 @@ class Localizer:
         # (LanguageEncoder.encode_sentences). In-vocabulary queries then cost
         # a gather (+ the tiny coarse inter head) instead of the full intra
         # stack at E=1024 — the dominant per-query text cost. OOV/embedded
-        # batches keep the full trunk path.
-        self._coarse_sent_table, self._fine_sent_table = (
-            self._build_sentence_tables()
-        )
+        # batches keep the full trunk path. Cached alongside the gallery
+        # (rebuilding is cheap compute but a fresh multi-minute XLA compile
+        # over a remote-compile tunnel).
+        if cached is not None and "coarse_sent_table" in cached:
+            self._coarse_sent_table = jnp.asarray(cached["coarse_sent_table"])
+            self._fine_sent_table = jnp.asarray(cached["fine_sent_table"])
+        else:
+            self._coarse_sent_table, self._fine_sent_table = (
+                self._build_sentence_tables()
+            )
+            cache_dirty = cache_path is not None
+
+        if cache_dirty:
+            self._save_cache(cache_path, np.asarray(gallery))
 
         # One-program serve path (cached gallery): every query is a SINGLE
         # dispatch + one readback. The stepwise flow pays a ~30 ms tunnel
@@ -234,6 +241,9 @@ class Localizer:
             self.fine_state.params, self.fine_state.batch_stats,
         ):
             update_tree(tree)
+        # The sentence tables are additionally a function of the frozen text
+        # embedder (its content hash covers table + token mask).
+        h.update(self.embedder.checksum().encode())
         d = self.data
         for a in (d.cell_bbox, d.cell_size, d.obj_xyz, d.obj_rgb,
                   d.obj_center, d.obj_color, d.obj_num_points, d.obj_class,
@@ -300,6 +310,10 @@ class Localizer:
                 fine_emb=np.asarray(self._fine_emb),
                 fine_mask=np.asarray(self._fine_mask),
             )
+        payload.update(
+            coarse_sent_table=np.asarray(self._coarse_sent_table),
+            fine_sent_table=np.asarray(self._fine_sent_table),
+        )
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(os.path.abspath(cache_path)),
             prefix=os.path.basename(cache_path) + ".tmp.",
