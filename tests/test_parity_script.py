@@ -47,6 +47,20 @@ def test_parity_synthetic_with_torch_ckpts(tmp_path):
         assert json.load(f)["config"]["synthetic"] is True
 
 
+def test_parity_compare_verdicts():
+    import parity
+
+    rows = parity._compare("R@", {1: 0.33, 3: 0.50, 5: 0.70},
+                           {1: 0.32, 3: 0.56}, tol=0.02)
+    by_label = {r[0]: r for r in rows}
+    assert by_label["R@1"][4] == "PASS"          # above target
+    assert by_label["R@3"][4] == "FAIL"          # below target - tol
+    assert by_label["R@5"][4] is None            # no target
+    # Within tolerance below the target still passes.
+    rows = parity._compare("x", {1: 0.305}, {1: 0.32}, tol=0.02)
+    assert rows[0][4] == "PASS"
+
+
 def test_parity_kernel_sweep_fixture(tmp_path):
     """--validate_kernels sweeps fused-SA modes on the loaded weights; on CPU
     every mode falls back to the exact path, so agreement must be 1.0."""
