@@ -106,6 +106,33 @@ def test_localizer_sharded_gallery(small_cfg, small_embedder, small_data):
     np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
 
 
+def test_localizer_sharded_oov_equals_dense(small_cfg, small_embedder,
+                                            small_data):
+    """Out-of-vocabulary (embedded) batches through the SHARDED serve: the
+    full-trunk branch inside the one-program serve must agree with dense."""
+    from text2loc_tpu.models.t5_encoder import CompositionalOnlineEncoder
+    from text2loc_tpu.text import render_description
+
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    online = CompositionalOnlineEncoder(
+        embed_dim=cfg.model.text_embed_dim,
+        max_tokens=cfg.model.max_hint_tokens,
+    )
+    dense = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                      online_encoder=online)
+    sharded = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                        mesh=make_mesh(8), online_encoder=online)
+
+    oov = render_description(
+        data.hint_dir[0][:2], data.hint_color[0][:2], data.hint_label[0][:2]
+    ) + " Take me to the big glowing obelisk."
+    a = dense.localize_text([oov])
+    b = sharded.localize_text([oov])
+    np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+    np.testing.assert_allclose(a.position_w, b.position_w, atol=1e-4)
+
+
 def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
                                            small_data, tmp_path, monkeypatch):
     """cache_path persists the coarse gallery + fine cell cache; a restart
