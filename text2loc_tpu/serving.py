@@ -105,8 +105,9 @@ class Localizer:
         # cell). `cache_path` persists them: first construction encodes and
         # saves, later restarts load and are query-ready immediately. The
         # cache is guarded by gallery size, pad size, and a byte-exact
-        # digest of (params, batch_stats, map arrays) so a stale file fails
-        # loudly instead of serving wrong positions.
+        # digest of (params, batch_stats, frozen-embedder content, map
+        # arrays) so a stale file fails loudly instead of serving wrong
+        # positions.
         self._digest = self._cache_digest() if cache_path is not None else None
         cached = self._load_cache(cache_path)
         cache_dirty = cache_path is not None and cached is None
