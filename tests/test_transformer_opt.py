@@ -82,6 +82,59 @@ def test_fused_add_layernorm_matches_reference():
         )
 
 
+def test_fused_ffn_addlayernorm_matches_reference():
+    from text2loc_tpu.ops.pallas_ffn import (
+        ffn_addlayernorm_reference,
+        fused_ffn_addlayernorm,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape, f, dt in (((531, 128), 512, jnp.float32),
+                         ((5, 16, 128), 512, jnp.bfloat16),
+                         ((40, 256), 1024, jnp.float32)):
+        d = shape[-1]
+        x = jnp.asarray(rng.standard_normal(shape), dt)
+        w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(f) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+        be = jnp.asarray(rng.standard_normal(d), jnp.float32)
+        ref = ffn_addlayernorm_reference(x, w1, b1, w2, b2, g, be)
+        got = fused_ffn_addlayernorm(x, w1, b1, w2, b2, g, be, interpret=True)
+        tol = 2e-2 if dt == jnp.bfloat16 else 5e-5
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+
+def test_decoder_layer_fused_ffn_equals_stock(monkeypatch):
+    """Whole decoder layer at eval: interpret-mode fused FFN == stock ops.
+    (On CPU the fused path is normally gated off; force it through the
+    interpret kernel by patching the gate + kernel entry.)"""
+    import text2loc_tpu.models.transformer as tr
+    from text2loc_tpu.ops import pallas_ffn
+
+    rng = np.random.default_rng(4)
+    b, lt, lm, d = 9, 16, 6, 128
+    layer = TorchDecoderLayer(d_model=d, num_heads=4, dim_feedforward=4 * d)
+    tgt = jnp.asarray(rng.standard_normal((b, lt, d)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((b, lm, d)), jnp.float32)
+    variables = layer.init(jax.random.PRNGKey(0), tgt, mem)
+
+    base = np.asarray(layer.apply(variables, tgt, mem))
+
+    monkeypatch.setattr(tr, "_fused_ffn_enabled", lambda d: True)
+    orig = pallas_ffn.fused_ffn_addlayernorm
+    monkeypatch.setattr(
+        pallas_ffn, "fused_ffn_addlayernorm",
+        lambda *a, **k: orig(*a, interpret=True, **k),
+    )
+    fused = np.asarray(layer.apply(variables, tgt, mem))
+    np.testing.assert_allclose(fused, base, rtol=1e-5, atol=1e-5)
+
+
 def test_param_tree_unchanged():
     """The optimized modules keep the stock flax param layout — converted
     torch checkpoints and round-2 trained states load unchanged."""

@@ -68,6 +68,63 @@ def _fused_ln_enabled(d: int) -> bool:
     )
 
 
+def _fused_ffn_enabled(d: int) -> bool:
+    v = os.environ.get("TEXT2LOC_FUSED_FFN", "1")
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and v != "0"
+        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
+        and (d <= 256 or v == "all")
+    )
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only twin of nn.Dense ({kernel, bias}, same initializers):
+    lets the fused kernels consume the weights directly while the stock path
+    applies them functionally — one param tree for both."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+def _feed_forward(x, d_model: int, dim_feedforward: int, norm_name: str,
+                  dropout_rate: float, dtype, train: bool):
+    """linear1 -> relu -> linear2 -> add+LayerNorm (post-LN torch block).
+
+    Called from within a layer's compact scope, so linear1/linear2 and the
+    norm stay DIRECT children of the layer (the previous nn.Dense/
+    nn.LayerNorm param layout). Deterministic TPU path at d_model <= 256
+    runs the single fused Pallas kernel (ops/pallas_ffn.py: no HBM round
+    trip for the 4x-wide intermediate, the FFN output, or the pre-norm sum);
+    training/CPU use stock composable ops with the dropouts in their torch
+    positions."""
+    dt = jnp.dtype(dtype)
+    k1, b1 = _DenseParams(dim_feedforward, name="linear1")(d_model)
+    k2, b2 = _DenseParams(d_model, name="linear2")(dim_feedforward)
+    scale, bias = _LNParams(name=norm_name)(d_model)
+    if (not train and d_model % 128 == 0 and dim_feedforward % 128 == 0
+            and _fused_ffn_enabled(d_model)):
+        from text2loc_tpu.ops.pallas_ffn import fused_ffn_addlayernorm
+
+        return fused_ffn_addlayernorm(x, k1, b1, k2, b2, scale, bias)
+    deterministic = not train
+    h = x @ k1.astype(dt) + b1.astype(dt)
+    h = nn.relu(h)
+    h = nn.Dropout(dropout_rate, deterministic=deterministic)(h)
+    h = h @ k2.astype(dt) + b2.astype(dt)
+    h = nn.Dropout(dropout_rate, deterministic=deterministic)(h)
+    return apply_add_layernorm(x, h, scale, bias, 1e-5, dt, train)
+
+
 def grouped_dot_product_attention(query, key, value, mask=None,
                                   group_rows: int = 128):
     """Per-sample attention via sample-folded dense matmuls (exact).
@@ -156,12 +213,35 @@ class TorchMultiHeadAttention(nn.Module):
         )(x)
 
 
-class AddLayerNorm(nn.Module):
-    """LayerNorm(x + res) with nn.LayerNorm's parameter layout.
+class _LNParams(nn.Module):
+    """Parameter-only twin of nn.LayerNorm ({scale, bias})."""
 
-    Inference on TPU runs the one-pass fused Pallas kernel
-    (ops/pallas_ln.fused_add_layernorm); training and CPU use the stock
-    composable ops (same f32 statistics)."""
+    @nn.compact
+    def __call__(self, d: int):
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return scale, bias
+
+
+def apply_add_layernorm(x, res, scale, bias, eps: float, out_dtype,
+                        train: bool):
+    """LayerNorm(x + res): the fused one-pass Pallas kernel at inference on
+    TPU (ops/pallas_ln), stock composable ops otherwise (same f32 stats)."""
+    d = x.shape[-1]
+    if not train and d % 128 == 0 and _fused_ln_enabled(d):
+        from text2loc_tpu.ops.pallas_ln import fused_add_layernorm
+
+        return fused_add_layernorm(x, res, scale, bias, eps=eps)
+    s = (x + res).astype(jnp.float32)
+    mu = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s - mu), axis=-1, keepdims=True)
+    y = (s - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale + bias
+    return y.astype(out_dtype)
+
+
+class AddLayerNorm(nn.Module):
+    """LayerNorm(x + res) with nn.LayerNorm's parameter layout."""
 
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
@@ -171,16 +251,8 @@ class AddLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
-        if not train and d % 128 == 0 and _fused_ln_enabled(d):
-            from text2loc_tpu.ops.pallas_ln import fused_add_layernorm
-
-            return fused_add_layernorm(x, res, scale, bias, eps=self.epsilon)
-        s = (x + res).astype(jnp.float32)
-        mu = jnp.mean(s, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(s - mu), axis=-1, keepdims=True)
-        y = (s - mu) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
-        return y.astype(self.dtype)
+        return apply_add_layernorm(x, res, scale, bias, self.epsilon,
+                                   self.dtype, train)
 
 
 class TorchEncoderLayer(nn.Module):
@@ -207,16 +279,10 @@ class TorchEncoderLayer(nn.Module):
         x = AddLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             x, attn, train=train
         )
-
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        x = AddLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
-            x, h, train=train
+        return _feed_forward(
+            x, self.d_model, self.dim_feedforward, "norm2",
+            self.dropout_rate, self.dtype, train,
         )
-        return x
 
 
 class TorchDecoderLayer(nn.Module):
@@ -263,13 +329,7 @@ class TorchDecoderLayer(nn.Module):
         tgt = AddLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             tgt, ca, train=train
         )
-
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        tgt = AddLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
-            tgt, h, train=train
+        return _feed_forward(
+            tgt, self.d_model, self.dim_feedforward, "norm3",
+            self.dropout_rate, self.dtype, train,
         )
-        return tgt
