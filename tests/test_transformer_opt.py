@@ -135,6 +135,61 @@ def test_decoder_layer_fused_ffn_equals_stock(monkeypatch):
     np.testing.assert_allclose(fused, base, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_kernels_inside_shard_map():
+    """On real multi-chip TPU the fused LN/FFN kernels run INSIDE the
+    sharded serve's shard_map; single-chip hardware can't exercise that
+    composition, so run the interpret-mode kernels under shard_map on the
+    CPU mesh and assert equality with the references."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from text2loc_tpu.ops.pallas_ffn import (
+        ffn_addlayernorm_reference,
+        fused_ffn_addlayernorm,
+    )
+    from text2loc_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    d, f = 128, 512
+    x = jnp.asarray(rng.standard_normal((64, d)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(f) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    be = jnp.asarray(rng.standard_normal(d), jnp.float32)
+
+    ax = mesh.axis_names[0]
+    fn = shard_map(
+        lambda *a: fused_ffn_addlayernorm(*a, interpret=True),
+        mesh=mesh,
+        in_specs=(P(ax), P(), P(), P(), P(), P(), P()),
+        out_specs=P(ax),
+        check_vma=False,    # pallas out_shape carries no VMA (the sharded
+    )                       # serve sets the same flag)
+    got = np.asarray(jax.jit(fn)(x, w1, b1, w2, b2, g, be))
+    ref = np.asarray(ffn_addlayernorm_reference(x, w1, b1, w2, b2, g, be))
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
+
+    from text2loc_tpu.ops.pallas_ln import (
+        add_layernorm_reference,
+        fused_add_layernorm,
+    )
+
+    r = jnp.asarray(rng.standard_normal((64, d)), jnp.float32)
+    fn2 = shard_map(
+        lambda *a: fused_add_layernorm(*a, interpret=True),
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(), P()),
+        out_specs=P(ax),
+        check_vma=False,
+    )
+    got2 = np.asarray(jax.jit(fn2)(x, r, g, be))
+    ref2 = np.asarray(add_layernorm_reference(x, r, g, be))
+    np.testing.assert_allclose(got2, ref2, rtol=2e-5, atol=2e-5)
+
+
 def test_param_tree_unchanged():
     """The optimized modules keep the stock flax param layout — converted
     torch checkpoints and round-2 trained states load unchanged."""

@@ -29,6 +29,11 @@ scripts/probe_cct_parts.py, BENCHMARKS.md):
   the same kernel is SLOWER than XLA's fused ops (encode 6.51 -> 7.40 ms),
   so it engages only for small dims. Env: TEXT2LOC_FUSED_LN=0 disables,
   =all forces every dim.
+* FUSED FFN+ADD+LAYERNORM (on by default for d_model <= 256): the whole
+  feed-forward block (linear1 -> relu -> linear2 -> residual -> LN) runs as
+  ONE Pallas kernel per row tile (ops/pallas_ffn.py) — the 4x-wide
+  intermediate never reaches HBM. Interleaved A/B: cct 5.50/5.65 ->
+  5.40/5.41 ms. Env: TEXT2LOC_FUSED_FFN=0 disables, =all forces every dim.
 
 Parameter trees are IDENTICAL to the previous stock-flax modules
 (nn.MultiHeadDotProductAttention / nn.LayerNorm layouts), so converted torch
