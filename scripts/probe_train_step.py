@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Time ONE jitted train step (coarse or fine) at full size on-chip.
+
+Lean harness for A/B-ing training-path optimizations (the hoisted SA first
+layer, fused-kernel VJPs, ...): builds the full-size synthetic scene, compiles
+the step once (persistent cache), then times `--steps` steps with a scalar
+readback per step. Reports ms/step after subtracting nothing — steps are
+back-to-back device work, dispatch overlaps.
+
+Usage: python scripts/probe_train_step.py [--stage coarse|fine]
+       [--steps 30] [--batch 32] [--body_dtype bfloat16]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--stage", default="coarse", choices=("coarse", "fine"))
+    ap.add_argument("--body_dtype", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/text2loc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import numpy as np
+
+    from text2loc_tpu.config import Config, ModelConfig, TrainConfig
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+    from text2loc_tpu.data.synthetic import make_scene
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+    from text2loc_tpu.models.cross_matcher import CrossMatch
+    from text2loc_tpu.models.text_embedding import HintTextEmbedder
+    from text2loc_tpu.training import steps as steps_lib
+
+    cfg = Config(
+        model=ModelConfig(), train=TrainConfig(batch_size=args.batch)
+    ).validate()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, dtype=cfg.model.train_dtype, body_dtype=args.body_dtype
+        )
+    )
+    scene = make_scene(
+        scene_name="0000", num_cells=64, num_poses=512,
+        object_slots=cfg.model.object_size,
+        num_points=cfg.model.pointnet.num_points,
+        num_mentioned=cfg.model.num_mentioned, seed=0,
+    )
+    data = MultiSceneArrays([scene])
+    embedder = HintTextEmbedder.compositional(
+        embed_dim=cfg.model.text_embed_dim, max_tokens=cfg.model.max_hint_tokens
+    )
+    rng = jax.random.PRNGKey(0)
+    opt = steps_lib.make_optimizer(cfg, steps_per_epoch=100)
+
+    if args.stage == "coarse":
+        model = CellRetrievalNetwork(cfg.model)
+        batch0 = data.gather_coarse(np.arange(args.batch), cfg.model.object_size)
+        objects, text = steps_lib.prepare_coarse_batch(
+            batch0, embedder, cfg, rng, train=False
+        )
+        state = steps_lib.init_train_state(model, opt, rng, objects, text)
+        step = jax.jit(
+            steps_lib.make_coarse_train_step(model, embedder, cfg, opt),
+            donate_argnums=(0,),
+        )
+        gather = lambda idx: data.gather_coarse(idx, cfg.model.object_size)
+    else:
+        model = CrossMatch(cfg.model)
+        batch0 = data.gather_fine(np.arange(args.batch), cfg.model.pad_size)
+        fb = steps_lib.prepare_fine_batch(batch0, embedder, cfg, rng, train=False)
+        state = steps_lib.init_train_state(model, opt, rng, fb.objects, fb.text)
+        step = jax.jit(
+            steps_lib.make_fine_train_step(model, embedder, cfg, opt),
+            donate_argnums=(0,),
+        )
+        gather = lambda idx: data.gather_fine(idx, cfg.model.pad_size)
+
+    order = np.random.default_rng(1)
+    t_compile = time.perf_counter()
+    idx = order.choice(data.num_poses, args.batch, replace=False)
+    state, metrics = step(state, gather(idx), rng)
+    print(f"loss0 {float(jax.device_get(metrics['loss'])):.4f}  "
+          f"compile {time.perf_counter() - t_compile:.1f}s",
+          file=sys.stderr, flush=True)
+
+    batches = [gather(order.choice(data.num_poses, args.batch, replace=False))
+               for _ in range(args.steps)]
+    t0 = time.perf_counter()
+    for b in batches:
+        rng, srng = jax.random.split(rng)
+        state, metrics = step(state, b, srng)
+    loss = float(jax.device_get(metrics["loss"]))  # forces full drain
+    dt = (time.perf_counter() - t0) / args.steps
+    print(json.dumps({
+        "stage": args.stage, "body_dtype": args.body_dtype or "float32",
+        "batch": args.batch, "ms_per_step": round(dt * 1e3, 2),
+        "final_loss": round(loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

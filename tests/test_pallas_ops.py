@@ -134,6 +134,37 @@ def test_pallas_gather_bit_equal():
     np.testing.assert_array_equal(got, want)
 
 
+def test_gather_rows_grad_matches_onehot():
+    """Differentiable tiled VMEM gather: forward bit-equal to take_along_axis
+    (incl. an N not divisible by tile_g), custom-VJP backward equal to the
+    XLA one-hot formulation's autodiff (exact scatter-add over duplicate
+    indices — duplicates are guaranteed by drawing 20 indices from 8 rows)."""
+    import jax
+
+    from text2loc_tpu.ops.ballquery import onehot_gather
+    from text2loc_tpu.ops.pallas_gather import gather_rows_grad
+
+    rng = np.random.default_rng(2)
+    vals = jnp.asarray(rng.standard_normal((5, 8, 12)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 8, (5, 20)), jnp.int32)
+
+    want = np.asarray(jnp.take_along_axis(vals, idx[:, :, None], axis=1))
+    got = np.asarray(gather_rows_grad(vals, idx, tile_q=8, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    def loss_ref(v):
+        return jnp.sum(onehot_gather(v, idx) ** 2)
+
+    def loss_pal(v):
+        return jnp.sum(gather_rows_grad(v, idx, tile_q=8, interpret=True) ** 2)
+
+    v0, g0 = jax.value_and_grad(loss_ref)(vals)
+    v1, g1 = jax.value_and_grad(loss_pal)(vals)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_sa_select_matches_xla():
     """Fully-fused kernel (in-kernel bisection selection + compaction gather,
     interpret mode) vs the XLA path: for generic (tie-free) point sets the
