@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""On-chip check of the fused TRAINING SA kernel (ops/pallas_sa_train.py).
+
+Interpret-mode tests (tests/test_pallas_sa_train.py) prove the math; this
+probe proves MOSAIC compiles the six kernels on the real TPU and that the
+compiled kernels match the jnp reference (sa_train_reference, run at
+HIGHEST matmul precision so XLA's default one-bf16-pass f32 matmuls don't
+pollute the oracle) on IDENTICAL inputs — same neighbor indices, so no
+selection flips. Also sanity-checks the wired SetAbstraction module path at
+matched (default) precision, where ball-query selection is shared.
+
+Run before trusting TEXT2LOC_FUSED_SA_TRAIN=1 results.
+
+Usage: python scripts/probe_sa_train.py
+"""
+from __future__ import annotations
+
+import functools
+import sys
+
+
+def _rel_to_peak(a, b):
+    import numpy as np
+
+    scale = max(float(np.max(np.abs(b))), 1e-6)
+    return float(np.max(np.abs(a - b))) / scale
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/text2loc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text2loc_tpu.ops.pallas_sa_train import (
+        sa_train_fused,
+        sa_train_reference,
+    )
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    # ---- Part 1: kernel vs jnp reference on identical (u, sv, idx) ----
+    rng = np.random.default_rng(11)
+    n, p, s, k, h1, h2 = 8, 64, 32, 8, 32, 64
+    u = jnp.asarray(rng.standard_normal((n, p, h1)), jnp.float32)
+    sv = jnp.asarray(rng.standard_normal((n, s, h1)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h1, h2)) * 0.3, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((h2,)), jnp.float32)
+    g1 = jnp.asarray(1 + 0.1 * rng.standard_normal((h1,)), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.standard_normal((h1,)), jnp.float32)
+    g2 = jnp.asarray(1 + 0.1 * rng.standard_normal((h2,)), jnp.float32)
+    be2 = jnp.asarray(0.1 * rng.standard_normal((h2,)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, p, (n, s, k)), jnp.int32)
+    maskm = rng.random((n, s, k)) < 0.8
+    maskm[0, 0] = False
+    obj = np.ones((n,), bool)
+    obj[-1] = False
+    maskf = jnp.asarray(maskm & obj[:, None, None])
+    maskm = jnp.asarray(maskm)
+    diff = (u, sv, w2, b2, g1, be1, g2, be2)
+    rest = (idx, maskm, maskf)
+    cot = jnp.asarray(rng.standard_normal((n, s, h2)), jnp.float32)
+
+    def loss_fused(*d):
+        out, _ = sa_train_fused(*d, *rest, compute_dtype=jnp.float32)
+        return jnp.sum(out * cot), out
+
+    def loss_ref(*d):
+        out, _ = sa_train_reference(*d, *rest)
+        return jnp.sum(out * cot), out
+
+    gf_fn = jax.jit(jax.value_and_grad(loss_fused, argnums=tuple(range(8)),
+                                       has_aux=True))
+    gr_fn = jax.jit(jax.value_and_grad(loss_ref, argnums=tuple(range(8)),
+                                       has_aux=True))
+    (lf, of), gf = gf_fn(*diff)
+    with jax.default_matmul_precision("highest"):
+        (lr, orr), gr = gr_fn(*diff)
+    # Context line: XLA's own default-precision reference sits at the same
+    # distance from the true-f32 oracle (one-bf16-pass f32 matmuls), so the
+    # gate is rel-to-peak, not elementwise f32 equality. The real failure
+    # mode this probe exists to catch is the round-2 class of miscompile
+    # (exactly-zero gradients), checked strictly below.
+    (ld, od), gd = gr_fn(*diff)
+    of, orr, od = np.asarray(of), np.asarray(orr), np.asarray(od)
+    print(f"kernel fwd rel-to-peak vs true-f32 oracle: fused "
+          f"{_rel_to_peak(of, orr):.2e}, xla-default {_rel_to_peak(od, orr):.2e} "
+          f"(loss {float(lf):.5f} / {float(lr):.5f} / {float(ld):.5f})",
+          flush=True)
+    assert _rel_to_peak(of, orr) < 1e-2
+    # Gradients are precision-CHAOTIC here, not precision-stable: a ~3e-3
+    # forward wobble flips masked-max winners and relu boundaries, re-routing
+    # whole gradient contributions — XLA's own default-precision path shows
+    # the same elementwise deviations from the true-f32 oracle. The gate is
+    # therefore comparative (fused must sit in the same deviation class as
+    # xla-default, per-leaf L2) plus a strict zero-grad miscompile check
+    # (the round-2 bf16 failure mode).
+    names = ["u", "sv", "w2", "b2", "g1", "be1", "g2", "be2"]
+    bad = 0
+    for name, a, b, d in zip(names, gf, gr, gd):
+        a, b, d = np.asarray(a), np.asarray(b), np.asarray(d)
+        nb = max(float(np.linalg.norm(b)), 1e-6)
+        rel_f = float(np.linalg.norm(a - b)) / nb
+        rel_d = float(np.linalg.norm(d - b)) / nb
+        zero = a.any() != b.any()
+        ok = (not zero) and rel_f <= max(3.0 * rel_d, 1e-3)
+        bad += not ok
+        print(f"  grad {name}: relL2 fused {rel_f:.2e} "
+              f"(xla-default {rel_d:.2e}) {'ok' if ok else 'FAIL'}",
+              flush=True)
+    if bad:
+        print(f"FAIL: {bad} kernel grad mismatches")
+        return 1
+
+    # ---- Part 2: wired module path, matched default precision ----
+    from text2loc_tpu.models.pointnet2 import SetAbstraction
+
+    x = jnp.asarray(rng.random((n, p, 3)), jnp.float32)
+    pos = jnp.asarray(rng.random((n, p, 3)), jnp.float32)
+    obj_mask = jnp.asarray(obj)
+
+    def build(fused_train):
+        return SetAbstraction(
+            num_samples=32, radius=0.4, mlp_channels=(6, 32, 64),
+            max_neighbors=8, fused="off", fused_train=fused_train,
+        )
+
+    ref_mod = build(False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x, pos, obj_mask, train=True)
+
+    def loss_mod(mod, pp, xx):
+        (out, _), vars_ = mod.apply(
+            pp, xx, pos, obj_mask, train=True, mutable=["batch_stats"]
+        )
+        return jnp.sum(out ** 2), (out, vars_["batch_stats"])
+
+    outs = {}
+    for name, mod in (("xla", ref_mod), ("fused", build(True))):
+        f = jax.jit(jax.value_and_grad(
+            functools.partial(loss_mod, mod), has_aux=True))
+        (loss, (out, bs)), grads = f(params, x)
+        outs[name] = (np.asarray(out), jax.tree.map(np.asarray, bs),
+                      jax.tree.map(np.asarray, grads))
+        print(f"module {name}: loss={float(loss):.5f}", flush=True)
+
+    ox, bx, gx = outs["xla"]
+    of2, bf2, gf2 = outs["fused"]
+    # Same neighbor indices (shared ball_query at default precision); the
+    # paths differ in matmul association + XLA's one-bf16-pass default
+    # precision, so rel-to-peak ~1e-2 is the expected noise floor here.
+    print(f"module fwd rel-to-peak {_rel_to_peak(of2, ox):.2e}", flush=True)
+    assert _rel_to_peak(of2, ox) < 5e-2
+    for (kx_, vx), (_, vf) in zip(
+        jax.tree_util.tree_leaves_with_path(bx),
+        jax.tree_util.tree_leaves_with_path(bf2),
+    ):
+        assert _rel_to_peak(vf, vx) < 5e-2, str(kx_)
+    leaves_x = jax.tree_util.tree_leaves_with_path(gx)
+    leaves_f = jax.tree_util.tree_leaves_with_path(gf2)
+    # Near-zero leaves (dense_0_bias: BN shift-invariance cancels its grad)
+    # make per-leaf relL2 meaningless; floor the denominator at 1% of the
+    # largest leaf norm.
+    gscale = max(float(np.linalg.norm(vx)) for _, vx in leaves_x)
+    for (kx_, vx), (_, vf) in zip(leaves_x, leaves_f):
+        # Same chaotic-gradient caveat as Part 1: gate on bulk (L2)
+        # agreement + non-zero, not elementwise equality.
+        rel = float(np.linalg.norm(vf - vx)) / max(
+            float(np.linalg.norm(vx)), 1e-2 * gscale)
+        zero = vf.any() != vx.any()
+        print(f"  module grad {jax.tree_util.keystr(kx_)}: "
+              f"relL2 {rel:.2e}", flush=True)
+        assert rel < 0.5 and not zero, str(kx_)
+
+    print("OK: on-chip fused train SA matches reference "
+          "(kernel exact-input check + wired module check)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,184 @@
+"""Fused TRAINING-mode SA kernel (custom VJP) vs a JAX-autodiff oracle.
+
+The oracle re-states the XLA training path's math (models/pointnet2.py
+SetAbstraction train branch: edge MLP -> masked-statistics BatchNorm -> relu
+twice -> masked neighbor max) on pre-hoisted (u, sv) inputs, and jax.grad
+provides the reference gradients — including the nonlocal batch-statistics
+BN backward the kernel hand-derives. Interpret mode on CPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2loc_tpu.ops.pallas_sa_train import sa_train_fused, sa_train_reference
+
+oracle = sa_train_reference
+
+
+def _rand_case(seed, n=4, p=16, s=8, k=4, h1=8, h2=16, short_rows=True):
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((n, p, h1)).astype(np.float32)
+    sv = rng.standard_normal((n, s, h1)).astype(np.float32)
+    w2 = (rng.standard_normal((h1, h2)) * 0.3).astype(np.float32)
+    b2 = rng.standard_normal((h2,)).astype(np.float32)
+    g1 = (1.0 + 0.1 * rng.standard_normal((h1,))).astype(np.float32)
+    be1 = (0.1 * rng.standard_normal((h1,))).astype(np.float32)
+    g2 = (1.0 + 0.1 * rng.standard_normal((h2,))).astype(np.float32)
+    be2 = (0.1 * rng.standard_normal((h2,))).astype(np.float32)
+    idx = rng.integers(0, p, size=(n, s, k)).astype(np.int32)
+    # Ragged neighbor validity; one row fully empty to hit the fallback.
+    maskm = rng.random((n, s, k)) < 0.8
+    if short_rows:
+        maskm[0, 0, :] = False
+    # maskf = valid edges of real objects: drop one whole object from stats.
+    obj = np.ones((n,), bool)
+    obj[-1] = False
+    maskf = maskm & obj[:, None, None]
+    return tuple(
+        jnp.asarray(a)
+        for a in (u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf)
+    )
+
+
+FUSED_F32 = functools.partial(
+    sa_train_fused, compute_dtype=jnp.float32, interpret=True
+)
+
+
+def test_forward_and_stats_match_oracle():
+    args = _rand_case(0)
+    out, stats = FUSED_F32(*args)
+    want_out, want_stats = oracle(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               rtol=1e-5, atol=1e-5)
+    for got, want in zip(stats, want_stats):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_backward_matches_autodiff_oracle():
+    args = _rand_case(1)
+    diff = args[:8]
+    rest = args[8:]
+    rng = np.random.default_rng(99)
+    # Random (not sum) cotangent so tie-splitting and per-feature scaling of
+    # the BN backward are actually exercised.
+    cot = jnp.asarray(
+        rng.standard_normal((4, 8, 16)).astype(np.float32)
+    )
+
+    def loss_fused(*d):
+        out, _ = FUSED_F32(*d, *rest)
+        return jnp.sum(out * cot)
+
+    def loss_oracle(*d):
+        out, _ = oracle(*d, *rest)
+        return jnp.sum(out * cot)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(8)))(*diff)
+    want = jax.grad(loss_oracle, argnums=tuple(range(8)))(*diff)
+    names = ["u", "sv", "w2", "b2", "g1", "be1", "g2", "be2"]
+    for name, g, w in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_backward_multi_tile_grid():
+    # S large enough that the S-grid has >1 tile even at small K, so the
+    # cross-tile accumulators in every backward kernel are exercised.
+    args = _rand_case(2, n=3, p=64, s=32, k=2, h1=8, h2=8)
+    diff = args[:8]
+    rest = args[8:]
+
+    def loss_fused(*d):
+        out, _ = FUSED_F32(*d, *rest)
+        return jnp.sum(out ** 2)
+
+    def loss_oracle(*d):
+        out, _ = oracle(*d, *rest)
+        return jnp.sum(out ** 2)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(8)))(*diff)
+    want = jax.grad(loss_oracle, argnums=tuple(range(8)))(*diff)
+    # atol covers catastrophic cancellation: db2 = sum_all dz is near-zero by
+    # BN shift-invariance (exactly zero when maskf covers all edges), so f32
+    # accumulation-order noise from the large intermediate sums dominates it.
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-4, atol=2.5e-3)
+
+
+def test_bf16_compute_close_to_f32():
+    args = _rand_case(3)
+    out32, _ = FUSED_F32(*args)
+    out16, _ = sa_train_fused(
+        *args, compute_dtype=jnp.bfloat16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_module_fused_train_matches_xla_path():
+    """SetAbstraction(train=True) with the fused training kernel: forward,
+    gradients, and updated batch_stats all match the XLA path on the same
+    parameters (identical exact neighbor selection)."""
+    from text2loc_tpu.models.pointnet2 import SetAbstraction
+
+    rng = np.random.default_rng(5)
+    n, p, c = 6, 32, 5
+    x = jnp.asarray(rng.random((n, p, c)), jnp.float32)
+    pos = jnp.asarray(rng.random((n, p, 3)), jnp.float32)
+    obj_mask = jnp.asarray([True] * (n - 1) + [False])
+
+    def build(fused_train):
+        return SetAbstraction(
+            num_samples=16, radius=0.4, mlp_channels=(c + 3, 8, 16),
+            max_neighbors=8, fused="off", fused_train=fused_train,
+            fused_interpret=True,
+        )
+
+    ref = build(False)
+    params = ref.init(jax.random.PRNGKey(0), x, pos, obj_mask, train=True)
+
+    def run(mod, xx):
+        out, vars_ = mod.apply(
+            params, xx, pos, obj_mask, train=True, mutable=["batch_stats"]
+        )
+        return out[0], vars_["batch_stats"]
+
+    out_ref, bs_ref = run(ref, x)
+    out_fused, bs_fused = run(build(True), x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-5)
+    flat_r = jax.tree_util.tree_leaves_with_path(bs_ref)
+    flat_f = jax.tree_util.tree_leaves_with_path(bs_fused)
+    for (kr, vr), (kf, vf) in zip(flat_r, flat_f):
+        assert kr == kf
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vr),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(kr))
+
+    def loss(mod, pp, xx):
+        out, _ = mod.apply(
+            pp, xx, pos, obj_mask, train=True, mutable=["batch_stats"]
+        )
+        return jnp.sum(out[0] ** 2)
+
+    g_ref = jax.grad(functools.partial(loss, ref))(params, x)
+    g_fused = jax.grad(functools.partial(loss, build(True)))(params, x)
+    for (kr, vr), (kf, vf) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_fused),
+    ):
+        assert kr == kf
+        # atol again covers shift-invariance cancellation (near-zero bias
+        # grads are f32 noise-dominated; see test_backward_multi_tile_grid).
+        np.testing.assert_allclose(
+            np.asarray(vf), np.asarray(vr), rtol=5e-4, atol=1e-3,
+            err_msg=str(kr),
+        )

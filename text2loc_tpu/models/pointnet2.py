@@ -39,6 +39,7 @@ from text2loc_tpu.ops.pallas_pointconv import (
     fused_sa_select,
     fused_set_abstraction,
 )
+from text2loc_tpu.ops.pallas_sa_train import sa_train_fused
 
 
 def _fused_mode() -> str:
@@ -100,6 +101,42 @@ def _fused_mode_list(n_levels: int) -> list:
     return [_fused_mode()] * n_levels
 
 
+import contextlib
+
+_FUSED_TRAIN_SUPPRESSED = [False]
+
+
+@contextlib.contextmanager
+def suppress_fused_train():
+    """Force the env-default fused TRAINING kernel off within this context.
+
+    Used by parallel/train._bind around the DP step trace: a Mosaic
+    pallas_call is a custom call GSPMD cannot auto-partition over the mesh,
+    so multi-chip DP steps keep the XLA edge-tensor path (wrapping the
+    kernel in shard_map is future work). Explicit fused_train=True on the
+    module still wins (tests)."""
+    _FUSED_TRAIN_SUPPRESSED[0] = True
+    try:
+        yield
+    finally:
+        _FUSED_TRAIN_SUPPRESSED[0] = False
+
+
+def _fused_train_default() -> bool:
+    """TEXT2LOC_FUSED_SA_TRAIN: run TRAINING-mode SA levels through the
+    fused custom-VJP Pallas kernel (ops/pallas_sa_train.py) instead of the
+    XLA edge-tensor path. TPU-only (CPU/GPU always use XLA). Grad-equality
+    tested (tests/test_pallas_sa_train.py, scripts/probe_sa_train.py
+    on-chip); step-time A/B in BENCHMARKS.md log #10."""
+    if _FUSED_TRAIN_SUPPRESSED[0]:
+        return False
+    if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
+        "TEXT2LOC_DISABLE_PALLAS"
+    ):
+        return False
+    return os.environ.get("TEXT2LOC_FUSED_SA_TRAIN", "1") not in ("", "0")
+
+
 def _approx_neighbors(default: bool) -> bool:
     """TEXT2LOC_APPROX_NEIGHBORS parsing: "0"/"" = exact top_k, "1" = approx.
 
@@ -146,6 +183,9 @@ class SetAbstraction(nn.Module):
     # None = env-controlled (TEXT2LOC_FUSED_SA); or "off"/"exact"/"all"
     # (bool accepted: True == "exact"). See _fused_mode.
     fused: Optional[object] = None
+    # None = env-controlled (TEXT2LOC_FUSED_SA_TRAIN): fused custom-VJP
+    # training kernel (ops/pallas_sa_train.py) for the train=True path.
+    fused_train: Optional[bool] = None
     fused_interpret: bool = False     # interpret-mode kernel (tests)
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
@@ -253,6 +293,46 @@ class SetAbstraction(nn.Module):
         nbr_idx, nbr_mask = ball_query_knn(
             pos, centers, self.radius, self.max_neighbors, approx=approx
         )
+        # Env default applies only to f32 bodies: with --body_dtype bfloat16
+        # the XLA edge path measured FASTER than the fused kernel (97.2 vs
+        # 102.7 ms/step; BENCHMARKS.md log #10), so the per-mode winner is
+        # encoded here. An explicit fused_train attr always wins.
+        fused_train = (
+            self.fused_train if self.fused_train is not None
+            else (_fused_train_default() and self.dtype == jnp.float32)
+        )
+        if train and fused_train and not self.is_initializing():
+            # Hoisted first layer: concat(x_j, pos_j - c_i) @ W1 + b1
+            # == (concat(x_j, pos_j) @ W1 + b1) - c_i @ W1[pos rows], so the
+            # per-point term u and the per-center term sv are computed ONCE
+            # on the MXU and the kernel recombines them per edge in VMEM —
+            # the [N, S*K, H] edge tensors never exist in HBM, forward or
+            # backward (hand-derived custom VJP, grad-equality tested).
+            bn_mask = nbr_mask
+            if obj_mask is not None:
+                bn_mask = nbr_mask & jnp.asarray(obj_mask, bool)[:, None, None]
+            w1 = kernels[0]
+            both = jnp.concatenate(
+                [x, pos.astype(x.dtype)], axis=-1
+            ).astype(jnp.float32)
+            u = jnp.dot(both, w1) + biases[0]
+            sv = jnp.dot(centers.astype(jnp.float32), w1[c:])
+            out, stats = sa_train_fused(
+                u, sv, kernels[1], biases[1], scales[0], shifts[0],
+                scales[1], shifts[1], nbr_idx, nbr_mask, bn_mask,
+                eps=self.bn_eps,
+                compute_dtype=self.dtype,
+                interpret=self.fused_interpret,
+            )
+            m1, v1, m2, v2, n1 = stats
+            mom = self.bn_momentum
+            denom = jnp.maximum(n1 - 1.0, 1.0)
+            for l, (m, v) in enumerate(((m1, v1), (m2, v2))):
+                means[l].value = (1 - mom) * means[l].value + mom * m
+                variances[l].value = (
+                    (1 - mom) * variances[l].value + mom * v * n1 / denom
+                )
+            return out.astype(self.dtype), centers
         # One fused gather for features + coordinates: the one-hot selection
         # matmul is built once per level instead of twice.
         both = jnp.concatenate([x, pos.astype(x.dtype)], axis=-1)
@@ -322,6 +402,7 @@ class PointNet2(nn.Module):
     num_colors: int
     dtype: jnp.dtype = jnp.float32
     fused: Optional[object] = None
+    fused_train: Optional[bool] = None
     fused_interpret: bool = False
 
     @nn.compact
@@ -361,6 +442,7 @@ class PointNet2(nn.Module):
                 max_neighbors=c.sa_max_neighbors,
                 dtype=self.dtype,
                 fused=modes[i],
+                fused_train=self.fused_train,
                 fused_interpret=self.fused_interpret,
                 name=f"sa{i + 1}",
             )(x, pos, obj_mask=obj_mask, train=train, centers=centers_i)

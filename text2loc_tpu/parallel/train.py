@@ -26,6 +26,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from text2loc_tpu.config import Config
+from text2loc_tpu.models import pointnet2
 from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
 from text2loc_tpu.models.cross_matcher import CrossMatch
 from text2loc_tpu.models.text_embedding import HintTextEmbedder
@@ -38,12 +39,20 @@ def _bind(step: Callable, mesh: Mesh, axis_name: str) -> Callable:
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
     # Replicated state, sharded batch dict, replicated rng.
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    def run(state, batch, rng):
+        # The fused TRAINING SA kernel (a Mosaic custom call) cannot be
+        # auto-partitioned by GSPMD; keep the DP trace on the XLA path.
+        with pointnet2.suppress_fused_train():
+            return jitted(state, batch, rng)
+
+    return run
 
 
 def make_dp_coarse_train_step(
