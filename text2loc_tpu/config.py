@@ -149,6 +149,9 @@ class EvalConfig:
     threshs: Tuple[float, ...] = (5.0, 10.0, 15.0)
     batch_size: int = 32
     use_test_set: bool = False
+    # Opt-in: encode eval queries via the precomputed [V, D] sentence table
+    # (float-tolerance equal to the full text trunk; wins when Q*S >> V).
+    sentence_table: bool = False
 
 
 @dataclass(frozen=True)

@@ -93,6 +93,10 @@ def build_argparser():
     ap.add_argument("--threshs", type=float, nargs="*", default=None,
                     help="localization error thresholds in meters "
                          "(reference evaluation/args.py:21-23; default 5 10 15)")
+    ap.add_argument("--sentence_table", action="store_true",
+                    help="encode eval queries via the precomputed [V, D] "
+                         "sentence table (float-tolerance equal to the full "
+                         "text trunk; faster when Q*S >> vocab size)")
     return ap
 
 
@@ -108,6 +112,8 @@ def _apply_model_flags(cfg, args):
         ev["top_k"] = tuple(args.top_k)
     if getattr(args, "threshs", None):
         ev["threshs"] = tuple(args.threshs)
+    if getattr(args, "sentence_table", False):
+        ev["sentence_table"] = True
     if ev:
         cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, **ev))
     return cfg

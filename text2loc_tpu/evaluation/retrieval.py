@@ -86,6 +86,77 @@ def encode_queries(
     return out
 
 
+def make_sentence_table_text_encoder(model, embedder: HintTextEmbedder):
+    """(build_table, encode) for the sentence-table query path.
+
+    At eval the per-sentence text trunk is a pure function of the sentence
+    (LanguageEncoder.encode_sentences), so over the closed hint vocabulary
+    it collapses to a [V, D] table built ONCE per weights; each query then
+    costs a row gather + the tiny cross-sentence head instead of the full
+    intra stack at E=1024. Same construction as the serving path
+    (serving.Localizer._build_sentence_tables); here it is the opt-in
+    eval-loop variant (EvalConfig.sentence_table) for real-data evals where
+    Q * S >> V. Equality with the full trunk is float-tolerance
+    (tests/test_eval_sentence_table.py).
+    """
+    from text2loc_tpu import constants as C
+    from text2loc_tpu.data.batch import TextSet
+
+    table_ve = jnp.asarray(embedder.table)
+    token_mask = jnp.asarray(embedder.token_mask)
+
+    @jax.jit
+    def build_table(params, batch_stats):
+        v = table_ve.shape[0]
+        vocab = TextSet(
+            token_embeds=table_ve[:, None],              # [V, 1, T, E]
+            token_mask=token_mask[:, None],
+            sentence_mask=jnp.ones((v, 1), bool),
+        )
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, vocab,
+            train=False, method=model.encode_text_sentences,
+        )[:, 0]                                          # [V, D]
+
+    @jax.jit
+    def encode(params, batch_stats, table, batch):
+        ids = C.hint_id(batch["hint_dir"], batch["hint_color"],
+                        batch["hint_label"])
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.take(table, ids, axis=0),
+            jnp.asarray(batch["sentence_mask"], bool),
+            train=False, method=model.encode_text_from_sentences,
+        )
+
+    return build_table, encode
+
+
+def encode_queries_table(
+    data: MultiSceneArrays,
+    state: TrainState,
+    model,
+    embedder: HintTextEmbedder,
+    cfg: Config,
+) -> np.ndarray:
+    """encode_queries via the precomputed sentence table (see above)."""
+    build_table, encode = make_sentence_table_text_encoder(model, embedder)
+    table = build_table(state.params, state.batch_stats)
+    bsz = cfg.eval.batch_size
+    out = np.zeros((data.num_poses, cfg.model.coarse_embed_dim), np.float32)
+    for idx in _batched(data.num_poses, bsz):
+        full = np.resize(idx, bsz)
+        batch = {
+            "hint_dir": data.hint_dir[full],
+            "hint_color": data.hint_color[full],
+            "hint_label": data.hint_label[full],
+            "sentence_mask": data.hint_mask[full],
+        }
+        enc = encode(state.params, state.batch_stats, table, batch)
+        out[idx] = np.asarray(enc)[: len(idx)]
+    return out
+
+
 def eval_retrieval(
     data: MultiSceneArrays,
     state: TrainState,
@@ -108,7 +179,10 @@ def eval_retrieval(
     encode_cells, encode_text = make_coarse_encoders(model, embedder, cfg)
 
     cell_enc = encode_gallery(data, state, encode_cells, cfg, rng)
-    text_enc = encode_queries(data, state, encode_text, cfg)
+    if getattr(cfg.eval, "sentence_table", False):
+        text_enc = encode_queries_table(data, state, model, embedder, cfg)
+    else:
+        text_enc = encode_queries(data, state, encode_text, cfg)
     k = min(max(top_k), data.num_cells)
     if mesh is not None:
         from text2loc_tpu.parallel.retrieval import sharded_topk_retrieval
