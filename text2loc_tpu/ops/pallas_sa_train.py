@@ -6,7 +6,10 @@ backward (~1 GB per level per pass at batch-32 shapes; measured to dominate
 the coarse train step — BENCHMARKS.md optimization log #9). This module runs
 one SA level's training forward AND hand-derived backward as Pallas kernels
 that recompute the edge pipeline per (cloud, S-tile) in VMEM — edge tensors
-NEVER exist in HBM, in either direction.
+NEVER exist in HBM, in either direction. Like the inference kernels
+(ops/pallas_pointconv.py), G clouds are processed per grid program behind an
+in-kernel fori_loop so launch overhead amortizes over the thousands-of-clouds
+grid.
 
 Math (reference models/pointcloud/pointnet2.py:18-38 + get_mlp BatchNorm
 training semantics, identical to models.pointnet2.SetAbstraction's XLA path):
@@ -98,20 +101,18 @@ def sa_train_reference(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf,
     return out, (m1, v1, m2, v2, n)
 
 
-def _edge_pipe(u_ref, sv_ref, idx_ref, aux1, w2_ref, aux2, cdt, *, upto: str):
-    """Recompute the per-tile edge pipeline. Returns (oh, e, h1, z) with
-    later entries None when not requested (upto in {"e", "h1", "z"}).
+def _edge_pipe(u, sv, idx, aux1, w2_ref, aux2, cdt, lanes, *, upto: str):
+    """Recompute one cloud's edge pipeline for an S-tile. Returns
+    (oh, e, h1, z) with later entries None when not requested
+    (upto in {"e", "h1", "z"}).
 
-    oh: [T, P] compute-dtype one-hot (T = s_t*K); e/h1/z: [T, H] f32.
+    u: [P, H1]; sv: [s_t, H1] f32; idx: [s_t, K] int32; lanes: loop-invariant
+    [s_t, K, P] iota. oh: [T, P] compute-dtype one-hot (T = s_t*K);
+    e/h1/z: [T, H] f32.
     """
-    u = u_ref[0]                                    # [P, H1]
-    sv = sv_ref[0]                                  # [s_t, H1] f32
-    idx = idx_ref[0]                                # [s_t, K] int32
     s_t, k = idx.shape
-    p = u.shape[0]
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (s_t, k, p), 2)
-    oh = (lanes == idx[:, :, None]).astype(cdt).reshape(s_t * k, p)
+    oh = (lanes == idx[:, :, None]).astype(cdt).reshape(s_t * k, -1)
     g = jnp.dot(oh, u.astype(cdt), preferred_element_type=jnp.float32)
     e = (
         g.reshape(s_t, k, -1) - sv[:, None, :].astype(jnp.float32)
@@ -129,11 +130,16 @@ def _edge_pipe(u_ref, sv_ref, idx_ref, aux1, w2_ref, aux2, cdt, *, upto: str):
     return oh, e, h1, z
 
 
-def _mask_wide(m_ref, h: int):
-    """[1, s_t, K] mask ref -> [s_t*K, h] f32. Mosaic rejects the
+def _lanes(idx_ref, p: int):
+    """Loop-invariant [s_t, K, P] lane iota, built once per program."""
+    s_t, k = idx_ref.shape[1:]
+    return jax.lax.broadcasted_iota(jnp.int32, (s_t, k, p), 2)
+
+
+def _mask_wide(m, h: int):
+    """[s_t, K] mask -> [s_t*K, h] f32. Mosaic rejects the
     [s_t, K] -> [s_t*K, 1] reshape (minor dim moved into sublanes), so
     broadcast to full width in 3-D and collapse the major dims instead."""
-    m = m_ref[0]
     s_t, k = m.shape
     return jnp.broadcast_to(m[:, :, None], (s_t, k, h)).reshape(s_t * k, h)
 
@@ -154,59 +160,83 @@ def _acc_rows(acc_ref, rows):
         acc_ref[:, :] = acc_ref[:, :] + stacked
 
 
-def _k_stats1(u_ref, sv_ref, idx_ref, mf_ref, acc_ref, *, cdt):
-    _, e, _, _ = _edge_pipe(u_ref, sv_ref, idx_ref, None, None, None, cdt,
-                            upto="e")
-    mf = _mask_wide(mf_ref, e.shape[1])             # [T, H1] f32
-    s1 = jnp.sum(e * mf, axis=0)
-    q1 = jnp.sum(e * e * mf, axis=0)
-    cnt = jnp.sum(mf_ref[0]) * jnp.ones((e.shape[1],), jnp.float32)
-    _acc_rows(acc_ref, [s1, q1, cnt])
+def _k_stats1(u_ref, sv_ref, idx_ref, mf_ref, acc_ref, *, cdt, g_t):
+    h1 = u_ref.shape[-1]
+    lanes = _lanes(idx_ref, u_ref.shape[1])
+
+    def body(gi, carry):
+        s1, q1, cnt = carry
+        _, e, _, _ = _edge_pipe(u_ref[gi], sv_ref[gi], idx_ref[gi], None,
+                                None, None, cdt, lanes, upto="e")
+        mf = _mask_wide(mf_ref[gi], h1)             # [T, H1] f32
+        return (s1 + jnp.sum(e * mf, axis=0),
+                q1 + jnp.sum(e * e * mf, axis=0),
+                cnt + jnp.sum(mf_ref[gi]))
+
+    zero = jnp.zeros((h1,), jnp.float32)
+    s1, q1, cnt = jax.lax.fori_loop(
+        0, g_t, body, (zero, zero, jnp.float32(0.0)))
+    _acc_rows(acc_ref, [s1, q1, cnt * jnp.ones((h1,), jnp.float32)])
 
 
 def _k_stats2(u_ref, sv_ref, idx_ref, mf_ref, aux1_ref, w2_ref, aux2_ref,
-              acc_ref, *, cdt):
-    _, _, _, z = _edge_pipe(u_ref, sv_ref, idx_ref, aux1_ref, w2_ref,
-                            aux2_ref, cdt, upto="z")
-    mf = _mask_wide(mf_ref, z.shape[1])
-    s2 = jnp.sum(z * mf, axis=0)
-    q2 = jnp.sum(z * z * mf, axis=0)
+              acc_ref, *, cdt, g_t):
+    h2 = w2_ref.shape[1]
+    lanes = _lanes(idx_ref, u_ref.shape[1])
+
+    def body(gi, carry):
+        s2, q2 = carry
+        _, _, _, z = _edge_pipe(u_ref[gi], sv_ref[gi], idx_ref[gi], aux1_ref,
+                                w2_ref, aux2_ref, cdt, lanes, upto="z")
+        mf = _mask_wide(mf_ref[gi], h2)
+        return (s2 + jnp.sum(z * mf, axis=0),
+                q2 + jnp.sum(z * z * mf, axis=0))
+
+    zero = jnp.zeros((h2,), jnp.float32)
+    s2, q2 = jax.lax.fori_loop(0, g_t, body, (zero, zero))
     _acc_rows(acc_ref, [s2, q2])
 
 
 def _k_out(u_ref, sv_ref, idx_ref, mm_ref, aux1_ref, w2_ref, aux2_ref,
-           out_ref, *, cdt):
-    _, _, _, z = _edge_pipe(u_ref, sv_ref, idx_ref, aux1_ref, w2_ref,
-                            aux2_ref, cdt, upto="z")
-    a2 = aux2_ref[0]
-    c2 = aux2_ref[1]
-    h2 = jnp.maximum(z * a2[None, :] + c2[None, :], 0.0)
+           out_ref, *, cdt, g_t):
+    lanes = _lanes(idx_ref, u_ref.shape[1])
     s_t, k = idx_ref.shape[1:]
-    h23 = h2.reshape(s_t, k, -1)
-    mm = mm_ref[0][:, :, None]                      # [s_t, K, 1] f32
-    filled = jnp.where(mm > 0.0, h23, NEG)
-    pooled = jnp.max(filled, axis=1)
-    any_m = jnp.max(mm[:, :, 0], axis=1, keepdims=True)
-    out_ref[0] = jnp.where(any_m > 0.0, pooled, 0.0).astype(out_ref.dtype)
+
+    def body(gi, _):
+        _, _, _, z = _edge_pipe(u_ref[gi], sv_ref[gi], idx_ref[gi], aux1_ref,
+                                w2_ref, aux2_ref, cdt, lanes, upto="z")
+        a2 = aux2_ref[0]
+        c2 = aux2_ref[1]
+        h2 = jnp.maximum(z * a2[None, :] + c2[None, :], 0.0)
+        h23 = h2.reshape(s_t, k, -1)
+        mm = mm_ref[gi][:, :, None]                 # [s_t, K, 1] f32
+        filled = jnp.where(mm > 0.0, h23, NEG)
+        pooled = jnp.max(filled, axis=1)
+        any_m = jnp.max(mm[:, :, 0], axis=1, keepdims=True)
+        out_ref[gi] = jnp.where(any_m > 0.0, pooled, 0.0).astype(
+            out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, g_t, body, 0)
 
 
-def _dy2_tile(u_ref, sv_ref, idx_ref, mm_ref, aux1_ref, w2_ref, aux2_ref,
-              do_ref, cdt):
-    """Recompute through h2 and return (oh, e, h1, z, dy2) for the tile."""
-    oh, e, h1, z = _edge_pipe(u_ref, sv_ref, idx_ref, aux1_ref, w2_ref,
-                              aux2_ref, cdt, upto="z")
+def _dy2_cloud(gi, u_ref, sv_ref, idx_ref, mm_ref, aux1_ref, w2_ref,
+               aux2_ref, do_ref, cdt, lanes):
+    """Recompute cloud gi through h2; return (oh, e, h1, z, dy2)."""
+    oh, e, h1, z = _edge_pipe(u_ref[gi], sv_ref[gi], idx_ref[gi], aux1_ref,
+                              w2_ref, aux2_ref, cdt, lanes, upto="z")
     a2 = aux2_ref[0]
     c2 = aux2_ref[1]
     y2 = z * a2[None, :] + c2[None, :]
     h2 = jnp.maximum(y2, 0.0)
     s_t, k = idx_ref.shape[1:]
     h23 = h2.reshape(s_t, k, -1)
-    mm = mm_ref[0][:, :, None]
+    mm = mm_ref[gi][:, :, None]
     filled = jnp.where(mm > 0.0, h23, NEG)
     mx = jnp.max(filled, axis=1, keepdims=True)     # [s_t, 1, H2]
     eq = jnp.where((filled >= mx) & (mm > 0.0), 1.0, 0.0)
     cnt = jnp.maximum(jnp.sum(eq, axis=1, keepdims=True), 1.0)
-    dh2 = (do_ref[0].astype(jnp.float32)[:, None, :] * eq / cnt).reshape(
+    dh2 = (do_ref[gi].astype(jnp.float32)[:, None, :] * eq / cnt).reshape(
         s_t * k, -1
     )
     r2 = jnp.where(y2 > 0.0, 1.0, 0.0)
@@ -214,17 +244,25 @@ def _dy2_tile(u_ref, sv_ref, idx_ref, mm_ref, aux1_ref, w2_ref, aux2_ref,
 
 
 def _k_bwd_stats(u_ref, sv_ref, idx_ref, mm_ref, mf_ref, aux1_ref, w2_ref,
-                 aux2_ref, do_ref, acc_ref, *, cdt):
-    _, _, _, z, dy2 = _dy2_tile(u_ref, sv_ref, idx_ref, mm_ref, aux1_ref,
-                                w2_ref, aux2_ref, do_ref, cdt)
-    yhat2 = (z - aux2_ref[2][None, :]) * aux2_ref[3][None, :]
-    _acc_rows(acc_ref, [
-        jnp.sum(dy2, axis=0),
-        jnp.sum(dy2 * yhat2, axis=0),
-    ])
+                 aux2_ref, do_ref, acc_ref, *, cdt, g_t):
+    h2 = w2_ref.shape[1]
+    lanes = _lanes(idx_ref, u_ref.shape[1])
+
+    def body(gi, carry):
+        sA, sB = carry
+        _, _, _, z, dy2 = _dy2_cloud(gi, u_ref, sv_ref, idx_ref, mm_ref,
+                                     aux1_ref, w2_ref, aux2_ref, do_ref,
+                                     cdt, lanes)
+        yhat2 = (z - aux2_ref[2][None, :]) * aux2_ref[3][None, :]
+        return (sA + jnp.sum(dy2, axis=0),
+                sB + jnp.sum(dy2 * yhat2, axis=0))
+
+    zero = jnp.zeros((h2,), jnp.float32)
+    sA, sB = jax.lax.fori_loop(0, g_t, body, (zero, zero))
+    _acc_rows(acc_ref, [sA, sB])
 
 
-def _dz_tile(z, dy2, mf, aux2_ref):
+def _dz_cloud(z, dy2, mf, aux2_ref):
     a2 = aux2_ref[0]
     yhat2 = (z - aux2_ref[2][None, :]) * aux2_ref[3][None, :]
     corr = aux2_ref[4][None, :] + yhat2 * aux2_ref[5][None, :]
@@ -232,32 +270,44 @@ def _dz_tile(z, dy2, mf, aux2_ref):
 
 
 def _k_bwd_mid(u_ref, sv_ref, idx_ref, mm_ref, mf_ref, aux1_ref, w2_ref,
-               aux2_ref, do_ref, acc1_ref, dw2_ref, db2_ref, *, cdt):
-    _, e, h1, z, dy2 = _dy2_tile(u_ref, sv_ref, idx_ref, mm_ref, aux1_ref,
-                                 w2_ref, aux2_ref, do_ref, cdt)
-    dz = _dz_tile(z, dy2, _mask_wide(mf_ref, z.shape[1]), aux2_ref)
-    # dz @ W2^T as dot_general contracting on H2 (no in-kernel transpose).
-    dh1 = jax.lax.dot_general(
-        dz.astype(cdt), w2_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    a1 = aux1_ref[0]
-    c1 = aux1_ref[1]
-    r1 = jnp.where(e * a1[None, :] + c1[None, :] > 0.0, 1.0, 0.0)
-    dy1 = dh1 * r1
-    yhat1 = (e - aux1_ref[2][None, :]) * aux1_ref[3][None, :]
-    _acc_rows(acc1_ref, [
-        jnp.sum(dy1, axis=0),
-        jnp.sum(dy1 * yhat1, axis=0),
-    ])
+               aux2_ref, do_ref, acc1_ref, dw2_ref, db2_ref, *, cdt, g_t):
+    h1 = u_ref.shape[-1]
+    h2 = w2_ref.shape[1]
+    lanes = _lanes(idx_ref, u_ref.shape[1])
 
-    dw2_part = jax.lax.dot_general(
-        h1.astype(cdt), dz.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                               # [H1, H2]
+    def body(gi, carry):
+        sA, sB, dw2, db2 = carry
+        _, e, h1v, z, dy2 = _dy2_cloud(gi, u_ref, sv_ref, idx_ref, mm_ref,
+                                       aux1_ref, w2_ref, aux2_ref, do_ref,
+                                       cdt, lanes)
+        dz = _dz_cloud(z, dy2, _mask_wide(mf_ref[gi], h2), aux2_ref)
+        # dz @ W2^T as dot_general contracting on H2 (no in-kernel transpose).
+        dh1 = jax.lax.dot_general(
+            dz.astype(cdt), w2_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a1 = aux1_ref[0]
+        c1 = aux1_ref[1]
+        r1 = jnp.where(e * a1[None, :] + c1[None, :] > 0.0, 1.0, 0.0)
+        dy1 = dh1 * r1
+        yhat1 = (e - aux1_ref[2][None, :]) * aux1_ref[3][None, :]
+        dw2_part = jax.lax.dot_general(
+            h1v.astype(cdt), dz.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # [H1, H2]
+        return (sA + jnp.sum(dy1, axis=0),
+                sB + jnp.sum(dy1 * yhat1, axis=0),
+                dw2 + dw2_part,
+                db2 + jnp.sum(dz, axis=0))
+
+    sA, sB, dw2_part, db2_row = jax.lax.fori_loop(
+        0, g_t, body,
+        (jnp.zeros((h1,), jnp.float32), jnp.zeros((h1,), jnp.float32),
+         jnp.zeros((h1, h2), jnp.float32), jnp.zeros((h2,), jnp.float32)))
+    _acc_rows(acc1_ref, [sA, sB])
     db2_part = jnp.stack(
-        [jnp.sum(dz, axis=0)]
-        + [jnp.zeros((dz.shape[1],), jnp.float32)] * (db2_ref.shape[0] - 1)
+        [db2_row]
+        + [jnp.zeros((h2,), jnp.float32)] * (db2_ref.shape[0] - 1)
     )
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
@@ -272,41 +322,49 @@ def _k_bwd_mid(u_ref, sv_ref, idx_ref, mm_ref, mf_ref, aux1_ref, w2_ref,
 
 
 def _k_bwd_in(u_ref, sv_ref, idx_ref, mm_ref, mf_ref, aux1_ref, w2_ref,
-              aux2_ref, do_ref, du_ref, dsv_ref, *, cdt):
-    oh, e, _, z, dy2 = _dy2_tile(u_ref, sv_ref, idx_ref, mm_ref, aux1_ref,
-                                 w2_ref, aux2_ref, do_ref, cdt)
-    dz = _dz_tile(z, dy2, _mask_wide(mf_ref, z.shape[1]), aux2_ref)
-    # dz @ W2^T as dot_general contracting on H2 (no in-kernel transpose).
-    dh1 = jax.lax.dot_general(
-        dz.astype(cdt), w2_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    a1 = aux1_ref[0]
-    c1 = aux1_ref[1]
-    r1 = jnp.where(e * a1[None, :] + c1[None, :] > 0.0, 1.0, 0.0)
-    dy1 = dh1 * r1
-    yhat1 = (e - aux1_ref[2][None, :]) * aux1_ref[3][None, :]
-    corr = aux1_ref[4][None, :] + yhat1 * aux1_ref[5][None, :]
-    mf1 = _mask_wide(mf_ref, e.shape[1])
-    de = a1[None, :] * (dy1 - mf1 * corr)           # [T, H1]
-
-    du_part = jax.lax.dot_general(
-        oh, de.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                               # [P, H1]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        du_ref[0] = du_part.astype(du_ref.dtype)
-
-    @pl.when(pl.program_id(1) > 0)
-    def _acc():
-        du_ref[0] = du_ref[0] + du_part.astype(du_ref.dtype)
-
+              aux2_ref, do_ref, du_ref, dsv_ref, *, cdt, g_t):
+    h1 = u_ref.shape[-1]
+    h2 = w2_ref.shape[1]
+    lanes = _lanes(idx_ref, u_ref.shape[1])
     s_t, k = idx_ref.shape[1:]
-    dsv_ref[0] = (-jnp.sum(de.reshape(s_t, k, -1), axis=1)).astype(
-        dsv_ref.dtype
-    )
+    # program_id must be read at kernel top level (inside the fori_loop body
+    # it escapes into a closed_call where interpret mode cannot lower it).
+    first_j = pl.program_id(1) == 0
+
+    def body(gi, _):
+        oh, e, _, z, dy2 = _dy2_cloud(gi, u_ref, sv_ref, idx_ref, mm_ref,
+                                      aux1_ref, w2_ref, aux2_ref, do_ref,
+                                      cdt, lanes)
+        dz = _dz_cloud(z, dy2, _mask_wide(mf_ref[gi], h2), aux2_ref)
+        dh1 = jax.lax.dot_general(
+            dz.astype(cdt), w2_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a1 = aux1_ref[0]
+        c1 = aux1_ref[1]
+        r1 = jnp.where(e * a1[None, :] + c1[None, :] > 0.0, 1.0, 0.0)
+        dy1 = dh1 * r1
+        yhat1 = (e - aux1_ref[2][None, :]) * aux1_ref[3][None, :]
+        corr = aux1_ref[4][None, :] + yhat1 * aux1_ref[5][None, :]
+        mf1 = _mask_wide(mf_ref[gi], h1)
+        de = a1[None, :] * (dy1 - mf1 * corr)       # [T, H1]
+
+        du_part = jax.lax.dot_general(
+            oh, de.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(du_ref.dtype)                      # [P, H1]
+
+        # Accumulate over the S-tile grid axis. On the first j-program the
+        # previous block content is uninitialized; the select discards it.
+        prev = jnp.where(first_j, jnp.zeros_like(du_part), du_ref[gi])
+        du_ref[gi] = prev + du_part
+
+        dsv_ref[gi] = (-jnp.sum(de.reshape(s_t, k, -1), axis=1)).astype(
+            dsv_ref.dtype
+        )
+        return 0
+
+    jax.lax.fori_loop(0, g_t, body, 0)
 
 
 def _s_tile(s: int, k: int) -> int:
@@ -319,23 +377,35 @@ def _s_tile(s: int, k: int) -> int:
     return s_t
 
 
-def _specs(n, p, s, k, h1, h2, s_t, dt, *, dout=False):
-    """Common (in_specs, base operand order) for the kernels: u, sv, idx,
-    masks..., aux1, w2, aux2 [, dout]."""
+def _g_tile(n: int) -> int:
+    """Clouds per grid program (fori_loop in-kernel): amortizes program
+    launch overhead over the thousands-of-clouds grids, mirroring the
+    inference kernels' tile_g=8 (ops/pallas_pointconv.py)."""
+    return max(1, min(8, n))
+
+
+def _pad_n(arrs, n: int, n_pad: int):
+    if n_pad == n:
+        return arrs
+    return [jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1))
+            for a in arrs]
+
+
+def _specs(p, s, k, h1, h2, s_t, g_t):
+    """Common BlockSpecs: u, sv, idx, masks..., aux1, w2, aux2 [, dout]."""
     im_cloud = lambda i, j: (i, 0, 0)
     im_tile = lambda i, j: (i, j, 0)
     im_w = lambda i, j: (0, 0)
-    sp = {
-        "u": pl.BlockSpec((1, p, h1), im_cloud, memory_space=pltpu.VMEM),
-        "sv": pl.BlockSpec((1, s_t, h1), im_tile, memory_space=pltpu.VMEM),
-        "idx": pl.BlockSpec((1, s_t, k), im_tile, memory_space=pltpu.VMEM),
-        "mask": pl.BlockSpec((1, s_t, k), im_tile, memory_space=pltpu.VMEM),
+    return {
+        "u": pl.BlockSpec((g_t, p, h1), im_cloud, memory_space=pltpu.VMEM),
+        "sv": pl.BlockSpec((g_t, s_t, h1), im_tile, memory_space=pltpu.VMEM),
+        "idx": pl.BlockSpec((g_t, s_t, k), im_tile, memory_space=pltpu.VMEM),
+        "mask": pl.BlockSpec((g_t, s_t, k), im_tile, memory_space=pltpu.VMEM),
         "aux1": pl.BlockSpec((8, h1), im_w, memory_space=pltpu.VMEM),
         "w2": pl.BlockSpec((h1, h2), im_w, memory_space=pltpu.VMEM),
         "aux2": pl.BlockSpec((8, h2), im_w, memory_space=pltpu.VMEM),
-        "dout": pl.BlockSpec((1, s_t, h2), im_tile, memory_space=pltpu.VMEM),
+        "dout": pl.BlockSpec((g_t, s_t, h2), im_tile, memory_space=pltpu.VMEM),
     }
-    return sp
 
 
 @functools.partial(
@@ -347,16 +417,19 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
     s, k = idx.shape[1:]
     h2 = w2.shape[1]
     s_t = _s_tile(s, k)
+    g_t = _g_tile(n)
+    n_pad = -(-n // g_t) * g_t
     cdt = jnp.dtype(compute_dtype)
-    grid = (n, s // s_t)
-    sp = _specs(n, p, s, k, h1, h2, s_t, cdt)
+    grid = (n_pad // g_t, s // s_t)
+    sp = _specs(p, s, k, h1, h2, s_t, g_t)
     mf = maskf.astype(jnp.float32)
     mm = maskm.astype(jnp.float32)
+    u, sv, idx, mm, mf = _pad_n([u, sv, idx, mm, mf], n, n_pad)
     zero1 = jnp.zeros((8, h1), jnp.float32)
     zero2 = jnp.zeros((8, h2), jnp.float32)
 
     acc1 = pl.pallas_call(
-        functools.partial(_k_stats1, cdt=cdt),
+        functools.partial(_k_stats1, cdt=cdt, g_t=g_t),
         out_shape=jax.ShapeDtypeStruct((8, h1), jnp.float32),
         grid=grid,
         in_specs=[sp["u"], sp["sv"], sp["idx"], sp["mask"]],
@@ -375,7 +448,7 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
     aux2 = zero2.at[6].set(b2)
 
     acc2 = pl.pallas_call(
-        functools.partial(_k_stats2, cdt=cdt),
+        functools.partial(_k_stats2, cdt=cdt, g_t=g_t),
         out_shape=jax.ShapeDtypeStruct((8, h2), jnp.float32),
         grid=grid,
         in_specs=[sp["u"], sp["sv"], sp["idx"], sp["mask"], sp["aux1"],
@@ -393,15 +466,15 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
     aux2 = aux2.at[0].set(a2).at[1].set(c2).at[2].set(m2).at[3].set(inv2)
 
     out = pl.pallas_call(
-        functools.partial(_k_out, cdt=cdt),
-        out_shape=jax.ShapeDtypeStruct((n, s, h2), u.dtype),
+        functools.partial(_k_out, cdt=cdt, g_t=g_t),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s, h2), u.dtype),
         grid=grid,
         in_specs=[sp["u"], sp["sv"], sp["idx"], sp["mask"], sp["aux1"],
                   sp["w2"], sp["aux2"]],
-        out_specs=pl.BlockSpec((1, s_t, h2), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((g_t, s_t, h2), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(u, sv, idx, mm, aux1, w2, aux2)
+    )(u, sv, idx, mm, aux1, w2, aux2)[:n]
     stats = (m1, v1, m2, v2, n1)
     return out, stats, (aux1, aux2)
 
@@ -448,14 +521,17 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     s, k = idx.shape[1:]
     h2 = w2.shape[1]
     s_t = _s_tile(s, k)
+    g_t = _g_tile(n)
+    n_pad = -(-n // g_t) * g_t
     cdt = jnp.dtype(compute_dtype)
-    grid = (n, s // s_t)
-    sp = _specs(n, p, s, k, h1, h2, s_t, cdt)
+    grid = (n_pad // g_t, s // s_t)
+    sp = _specs(p, s, k, h1, h2, s_t, g_t)
     mf = maskf.astype(jnp.float32)
     mm = maskm.astype(jnp.float32)
+    u, sv, idx, mm, mf, dout = _pad_n([u, sv, idx, mm, mf, dout], n, n_pad)
 
     accA2 = pl.pallas_call(
-        functools.partial(_k_bwd_stats, cdt=cdt),
+        functools.partial(_k_bwd_stats, cdt=cdt, g_t=g_t),
         out_shape=jax.ShapeDtypeStruct((8, h2), jnp.float32),
         grid=grid,
         in_specs=[sp["u"], sp["sv"], sp["idx"], sp["mask"], sp["mask"],
@@ -467,7 +543,7 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
 
     # BN backward correction sums run over ALL edges (every edge is
     # normalized with the masked statistics; only masked edges RECEIVE the
-    # correction, via the maskf factor in _dz_tile) — verified against
+    # correction, via the maskf factor in _dz_cloud) — verified against
     # jax.grad of the oracle in tests/test_pallas_sa_train.py. The same two
     # unmasked sums are dbeta/dgamma.
     dbe2 = accA2[0]
@@ -475,7 +551,7 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     aux2b = aux2.at[4].set(accA2[0] / n1).at[5].set(accA2[1] / n1)
 
     accA1, dw2, db2row = pl.pallas_call(
-        functools.partial(_k_bwd_mid, cdt=cdt),
+        functools.partial(_k_bwd_mid, cdt=cdt, g_t=g_t),
         out_shape=[
             jax.ShapeDtypeStruct((8, h1), jnp.float32),
             jax.ShapeDtypeStruct((h1, h2), jnp.float32),
@@ -498,23 +574,23 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     aux1b = aux1.at[4].set(accA1[0] / n1).at[5].set(accA1[1] / n1)
 
     du, dsv = pl.pallas_call(
-        functools.partial(_k_bwd_in, cdt=cdt),
+        functools.partial(_k_bwd_in, cdt=cdt, g_t=g_t),
         out_shape=[
-            jax.ShapeDtypeStruct((n, p, h1), u.dtype),
-            jax.ShapeDtypeStruct((n, s, h1), sv.dtype),
+            jax.ShapeDtypeStruct((n_pad, p, h1), u.dtype),
+            jax.ShapeDtypeStruct((n_pad, s, h1), sv.dtype),
         ],
         grid=grid,
         in_specs=[sp["u"], sp["sv"], sp["idx"], sp["mask"], sp["mask"],
                   sp["aux1"], sp["w2"], sp["aux2"], sp["dout"]],
         out_specs=[
-            pl.BlockSpec((1, p, h1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((g_t, p, h1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_t, h1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((g_t, s_t, h1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
     )(u, sv, idx, mm, mf, aux1b, w2, aux2b, dout)
-    return du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2
+    return du[:n], dsv[:n], dw2, db2, dg1, dbe1, dg2, dbe2
 
 
 def _sa_bwd(eps, compute_dtype, interpret, res, cts):
@@ -525,7 +601,6 @@ def _sa_bwd(eps, compute_dtype, interpret, res, cts):
         compute_dtype, interpret,
     )
     zero_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    zero_m = np.zeros(maskm.shape, dtype=jax.dtypes.float0)
     return (du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2,
             zero_i,
             np.zeros(maskm.shape, dtype=jax.dtypes.float0)
