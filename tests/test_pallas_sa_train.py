@@ -124,6 +124,82 @@ def test_bf16_compute_close_to_f32():
                                rtol=0.05, atol=0.05)
 
 
+def test_fused_train_shard_map_equals_dense():
+    """SetAbstraction's fused training path inside fused_train_mesh (the
+    shard_map island with psum'd BN statistics) must reproduce the dense
+    single-device fused path: forward, updated batch_stats, AND gradients
+    — including replicated-parameter grads, which shard_map's transpose
+    must psum across the 8 virtual devices."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from text2loc_tpu.models import pointnet2
+    from text2loc_tpu.models.pointnet2 import SetAbstraction
+
+    rng = np.random.default_rng(7)
+    n, p, c = 16, 32, 5        # n divisible by the 8-device mesh
+    x = jnp.asarray(rng.random((n, p, c)), jnp.float32)
+    pos = jnp.asarray(rng.random((n, p, 3)), jnp.float32)
+    obj_mask = jnp.asarray([True] * (n - 2) + [False] * 2)
+
+    mod = SetAbstraction(
+        num_samples=16, radius=0.4, mlp_channels=(c + 3, 8, 16),
+        max_neighbors=8, fused="off", fused_train=True,
+        fused_interpret=True,
+    )
+    params = mod.init(jax.random.PRNGKey(0), x, pos, obj_mask, train=True)
+
+    def loss(pp, xx):
+        out, vars_ = mod.apply(
+            pp, xx, pos, obj_mask, train=True, mutable=["batch_stats"]
+        )
+        return jnp.sum(out[0] ** 2), (out[0], vars_["batch_stats"])
+
+    vg = jax.value_and_grad(loss, has_aux=True)
+    (l_d, (o_d, bs_d)), g_d = vg(params, x)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    with pointnet2.fused_train_mesh(mesh, "dp"):
+        (l_s, (o_s, bs_s)), g_s = vg(params, x)
+
+    np.testing.assert_allclose(float(l_s), float(l_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_d),
+                               rtol=1e-5, atol=1e-6)
+    for (kd, vd), (ks, vs) in zip(
+        jax.tree_util.tree_leaves_with_path(bs_d),
+        jax.tree_util.tree_leaves_with_path(bs_s),
+    ):
+        assert kd == ks
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(kd))
+    for (kd, vd), (ks, vs) in zip(
+        jax.tree_util.tree_leaves_with_path(g_d),
+        jax.tree_util.tree_leaves_with_path(g_s),
+    ):
+        assert kd == ks
+        # atol covers the BN shift-invariance cancellation leaves (see
+        # test_backward_multi_tile_grid): per-shard psum reassociation
+        # perturbs near-zero bias grads at the 1e-4 level.
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
+                                   rtol=1e-4, atol=1e-3, err_msg=str(kd))
+
+
+def test_suppress_fused_train_context(monkeypatch):
+    """parallel/train._bind relies on suppress_fused_train to keep Mosaic
+    custom calls out of GSPMD-partitioned DP traces; verify the gate flips
+    the env default off (and restores it) even when the backend looks like
+    a TPU with the env knob set."""
+    from text2loc_tpu.models import pointnet2
+
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "1")
+    monkeypatch.delenv("TEXT2LOC_DISABLE_PALLAS", raising=False)
+    monkeypatch.setattr(pointnet2.jax, "default_backend", lambda: "tpu")
+    assert pointnet2._fused_train_default() is True
+    with pointnet2.suppress_fused_train():
+        assert pointnet2._fused_train_default() is False
+    assert pointnet2._fused_train_default() is True
+
+
 def test_module_fused_train_matches_xla_path():
     """SetAbstraction(train=True) with the fused training kernel: forward,
     gradients, and updated batch_stats all match the XLA path on the same

@@ -122,6 +122,54 @@ def test_dp_coarse_step_matches_single_chip(small_cfg, small_embedder, small_dat
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_dp_coarse_step_with_fused_sa_island(
+    small_cfg, small_embedder, small_data, monkeypatch
+):
+    """TEXT2LOC_FUSED_SA_TRAIN_DP=1: the DP step runs the fused training SA
+    kernel as a shard_map island (BN stats psum'd over the dp axis) inside
+    the GSPMD-jitted program. Loss must match the single-chip FUSED step on
+    the same batch ("interpret" forces the kernels on the CPU backend)."""
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "interpret")
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN_DP", "1")
+
+    n_dev = 8
+    cfg = small_cfg.replace(
+        train=dataclasses.replace(small_cfg.train, batch_size=n_dev * 2)
+    )
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+
+    model = CellRetrievalNetwork(cfg.model)
+    optimizer = steps_lib.make_optimizer(cfg, steps_per_epoch=1)
+
+    rng = jax.random.PRNGKey(1)
+    batch = small_data.gather_coarse(
+        np.arange(cfg.train.batch_size) % small_data.num_poses,
+        cfg.model.object_size,
+    )
+    objects, text = steps_lib.prepare_coarse_batch(
+        batch, small_embedder, cfg, rng, train=False
+    )
+    state = steps_lib.init_train_state(model, optimizer, rng, objects, text)
+
+    single_step = jax.jit(
+        steps_lib.make_coarse_train_step(model, small_embedder, cfg, optimizer)
+    )
+    _, single_metrics = single_step(state, batch, rng)
+    single_loss = float(single_metrics["loss"])
+
+    mesh = make_mesh(n_dev)
+    dp_step = make_dp_coarse_train_step(model, small_embedder, cfg, optimizer, mesh)
+    dp_state = replicate_state(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    new_state, metrics = dp_step(dp_state, sharded, rng)
+    dp_loss = float(metrics["loss"])
+
+    assert np.isfinite(dp_loss)
+    assert abs(dp_loss - single_loss) < 1e-4, (dp_loss, single_loss)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_shard_batch_multihost_single_process(small_data, small_cfg):
     from text2loc_tpu.parallel.mesh import shard_batch_multihost
 

@@ -102,8 +102,10 @@ def _fused_mode_list(n_levels: int) -> list:
 
 
 import contextlib
+import functools
 
 _FUSED_TRAIN_SUPPRESSED = [False]
+_FUSED_TRAIN_MESH = [None]
 
 
 @contextlib.contextmanager
@@ -112,9 +114,9 @@ def suppress_fused_train():
 
     Used by parallel/train._bind around the DP step trace: a Mosaic
     pallas_call is a custom call GSPMD cannot auto-partition over the mesh,
-    so multi-chip DP steps keep the XLA edge-tensor path (wrapping the
-    kernel in shard_map is future work). Explicit fused_train=True on the
-    module still wins (tests)."""
+    so by default multi-chip DP steps keep the XLA edge-tensor path (see
+    fused_train_mesh for the shard_map alternative). Explicit
+    fused_train=True on the module still wins (tests)."""
     _FUSED_TRAIN_SUPPRESSED[0] = True
     try:
         yield
@@ -122,14 +124,35 @@ def suppress_fused_train():
         _FUSED_TRAIN_SUPPRESSED[0] = False
 
 
+@contextlib.contextmanager
+def fused_train_mesh(mesh, axis_name: str):
+    """Run fused TRAINING SA kernels inside this context as shard_map
+    regions over `mesh`/`axis_name` (object batch sharded, params
+    replicated, BN statistics psum'd over ICI — global-batch semantics
+    identical to the GSPMD-XLA path). This is how the fused kernel
+    coexists with a GSPMD DP train step: GSPMD cannot partition a Mosaic
+    custom call, but a manual shard_map island inside the jitted program
+    can. Set by parallel/train._bind when TEXT2LOC_FUSED_SA_TRAIN_DP=1."""
+    _FUSED_TRAIN_MESH[0] = (mesh, axis_name)
+    try:
+        yield
+    finally:
+        _FUSED_TRAIN_MESH[0] = None
+
+
 def _fused_train_default() -> bool:
     """TEXT2LOC_FUSED_SA_TRAIN: run TRAINING-mode SA levels through the
     fused custom-VJP Pallas kernel (ops/pallas_sa_train.py) instead of the
-    XLA edge-tensor path. TPU-only (CPU/GPU always use XLA). Grad-equality
-    tested (tests/test_pallas_sa_train.py, scripts/probe_sa_train.py
-    on-chip); step-time A/B in BENCHMARKS.md log #10."""
+    XLA edge-tensor path. TPU-only (CPU/GPU always use XLA), except the
+    special value "interpret" which forces the kernel in interpret mode on
+    any backend (CPU-mesh integration tests of the DP shard_map island).
+    Grad-equality tested (tests/test_pallas_sa_train.py,
+    scripts/probe_sa_train.py on-chip); step-time A/B in BENCHMARKS.md
+    log #10."""
     if _FUSED_TRAIN_SUPPRESSED[0]:
         return False
+    if os.environ.get("TEXT2LOC_FUSED_SA_TRAIN") == "interpret":
+        return True
     if jax.default_backend() in ("cpu", "gpu") or os.environ.get(
         "TEXT2LOC_DISABLE_PALLAS"
     ):
@@ -317,12 +340,29 @@ class SetAbstraction(nn.Module):
             ).astype(jnp.float32)
             u = jnp.dot(both, w1) + biases[0]
             sv = jnp.dot(centers.astype(jnp.float32), w1[c:])
-            out, stats = sa_train_fused(
-                u, sv, kernels[1], biases[1], scales[0], shifts[0],
-                scales[1], shifts[1], nbr_idx, nbr_mask, bn_mask,
+            call = functools.partial(
+                sa_train_fused,
                 eps=self.bn_eps,
                 compute_dtype=self.dtype,
-                interpret=self.fused_interpret,
+                interpret=self.fused_interpret or (
+                    os.environ.get("TEXT2LOC_FUSED_SA_TRAIN") == "interpret"
+                ),
+            )
+            if _FUSED_TRAIN_MESH[0] is not None:
+                from jax.sharding import PartitionSpec as P
+
+                mesh, axis = _FUSED_TRAIN_MESH[0]
+                sharded = P(axis)
+                call = jax.shard_map(
+                    functools.partial(call, axis_name=axis),
+                    mesh=mesh,
+                    in_specs=(sharded,) * 2 + (P(),) * 6 + (sharded,) * 3,
+                    out_specs=(sharded, (P(),) * 5),
+                    check_vma=False,
+                )
+            out, stats = call(
+                u, sv, kernels[1], biases[1], scales[0], shifts[0],
+                scales[1], shifts[1], nbr_idx, nbr_mask, bn_mask,
             )
             m1, v1, m2, v2, n1 = stats
             mom = self.bn_momentum

@@ -408,11 +408,15 @@ def _specs(p, s, k, h1, h2, s_t, g_t):
     }
 
 
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret")
+    jax.jit, static_argnames=("compute_dtype", "interpret", "axis_name")
 )
 def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
-             compute_dtype, interpret):
+             compute_dtype, interpret, axis_name=None):
     n, p, h1 = u.shape
     s, k = idx.shape[1:]
     h2 = w2.shape[1]
@@ -438,6 +442,11 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
         interpret=interpret,
     )(u, sv, idx, mf)
 
+    # Under shard_map (axis_name set) the BN statistics are global: each
+    # shard reduces its local clouds in-kernel and the tiny [8, H]
+    # accumulators are psum'd over ICI — same statistics as the single-chip
+    # (and GSPMD-XLA) path at any mesh size.
+    acc1 = _psum(acc1, axis_name)
     n1 = jnp.maximum(acc1[2, 0], 1.0)
     m1 = acc1[0] / n1
     v1 = jnp.maximum(acc1[1] / n1 - m1 * m1, 0.0)
@@ -458,6 +467,7 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
         interpret=interpret,
     )(u, sv, idx, mf, aux1, w2, aux2)
 
+    acc2 = _psum(acc2, axis_name)
     m2 = acc2[0] / n1
     v2 = jnp.maximum(acc2[1] / n1 - m2 * m2, 0.0)
     inv2 = jax.lax.rsqrt(v2 + eps)
@@ -479,10 +489,10 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
     return out, stats, (aux1, aux2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def sa_train_fused(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf,
                    eps: float = 1e-5, compute_dtype=jnp.bfloat16,
-                   interpret: bool = False):
+                   interpret: bool = False, axis_name=None):
     """One SA level's TRAINING forward with batch-statistic BatchNorm.
 
     Args:
@@ -494,29 +504,37 @@ def sa_train_fused(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf,
         maskm: [N, S, K] neighbor-max validity (nbr_mask).
         maskf: [N, S, K] statistics validity (nbr_mask & obj_mask).
         eps/compute_dtype/interpret: static.
+        axis_name: when called inside shard_map with N sharded over this
+            axis, BN statistics (and the backward's correction sums) are
+            psum'd so they span the GLOBAL batch — matching the single-chip
+            semantics. Parameter gradients are returned as LOCAL partial
+            sums: shard_map's transpose of the replicated param inputs
+            psums them.
 
     Returns:
         (out [N, S, H2], (mean1, var1_biased, mean2, var2_biased, count))
         — stats for the running-average update (not differentiated).
     """
     out, stats, _ = _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm,
-                             maskf, eps, compute_dtype, interpret)
+                             maskf, eps, compute_dtype, interpret, axis_name)
     return out, stats
 
 
 def _sa_fwd(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
-            compute_dtype, interpret):
+            compute_dtype, interpret, axis_name):
     out, stats, (aux1, aux2) = _forward(
         u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
-        compute_dtype, interpret,
+        compute_dtype, interpret, axis_name,
     )
     res = (u, sv, w2, idx, maskm, maskf, aux1, aux2, stats[4])
     return (out, stats), res
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "axis_name")
+)
 def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
-              compute_dtype, interpret):
+              compute_dtype, interpret, axis_name=None):
     n, p, h1 = u.shape
     s, k = idx.shape[1:]
     h2 = w2.shape[1]
@@ -545,9 +563,12 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     # normalized with the masked statistics; only masked edges RECEIVE the
     # correction, via the maskf factor in _dz_cloud) — verified against
     # jax.grad of the oracle in tests/test_pallas_sa_train.py. The same two
-    # unmasked sums are dbeta/dgamma.
+    # unmasked sums are dbeta/dgamma — taken LOCAL (pre-psum): shard_map's
+    # transpose psums replicated-parameter cotangents on the way out, while
+    # the corrections need the GLOBAL sums (n1 is the global count).
     dbe2 = accA2[0]
     dg2 = accA2[1]
+    accA2 = _psum(accA2, axis_name)
     aux2b = aux2.at[4].set(accA2[0] / n1).at[5].set(accA2[1] / n1)
 
     accA1, dw2, db2row = pl.pallas_call(
@@ -571,6 +592,7 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     dbe1 = accA1[0]
     dg1 = accA1[1]
     db2 = db2row[0]
+    accA1 = _psum(accA1, axis_name)
     aux1b = aux1.at[4].set(accA1[0] / n1).at[5].set(accA1[1] / n1)
 
     du, dsv = pl.pallas_call(
@@ -593,12 +615,12 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     return du[:n], dsv[:n], dw2, db2, dg1, dbe1, dg2, dbe2
 
 
-def _sa_bwd(eps, compute_dtype, interpret, res, cts):
+def _sa_bwd(eps, compute_dtype, interpret, axis_name, res, cts):
     u, sv, w2, idx, maskm, maskf, aux1, aux2, n1 = res
     dout, _ = cts                                   # stats are buffers
     du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2 = _backward(
         u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
-        compute_dtype, interpret,
+        compute_dtype, interpret, axis_name,
     )
     zero_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return (du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2,

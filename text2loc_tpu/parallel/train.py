@@ -46,9 +46,19 @@ def _bind(step: Callable, mesh: Mesh, axis_name: str) -> Callable:
         donate_argnums=(0,),
     )
 
+    import os
+
     def run(state, batch, rng):
         # The fused TRAINING SA kernel (a Mosaic custom call) cannot be
-        # auto-partitioned by GSPMD; keep the DP trace on the XLA path.
+        # auto-partitioned by GSPMD. Default: keep the DP trace on the XLA
+        # path. With TEXT2LOC_FUSED_SA_TRAIN_DP=1 the kernel instead runs
+        # as a shard_map island inside the jitted step (object batch
+        # sharded over the dp axis, BN statistics psum'd — global-batch
+        # semantics identical to GSPMD; equality tested on the virtual
+        # CPU mesh in tests/test_parallel.py).
+        if os.environ.get("TEXT2LOC_FUSED_SA_TRAIN_DP", "") not in ("", "0"):
+            with pointnet2.fused_train_mesh(mesh, axis_name):
+                return jitted(state, batch, rng)
         with pointnet2.suppress_fused_train():
             return jitted(state, batch, rng)
 
