@@ -128,9 +128,39 @@ def test_dp_coarse_step_with_fused_sa_island(
     """TEXT2LOC_FUSED_SA_TRAIN_DP=1: the DP step runs the fused training SA
     kernel as a shard_map island (BN stats psum'd over the dp axis) inside
     the GSPMD-jitted program. Loss must match the single-chip FUSED step on
-    the same batch ("interpret" forces the kernels on the CPU backend)."""
+    the same batch ("interpret" forces the kernels on the CPU backend).
+
+    Runs in a SUBPROCESS with the persistent compilation cache DISABLED:
+    on this stack CPU executables are AOT-compiled remotely for a different
+    host (the cpu_aot_loader feature-mismatch warning at import), and
+    RELOADING this particular serialized program aborts the interpreter
+    (measured 3/3 crash with the cache on vs 3/3 pass with it off; fresh
+    compiles execute fine). The child is this same test re-entered with
+    TEXT2LOC_ISLAND_CHILD=1."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("TEXT2LOC_ISLAND_CHILD") != "1":
+        env = dict(os.environ)
+        env["TEXT2LOC_ISLAND_CHILD"] = "1"
+        env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", __file__, "-q", "-k",
+             "fused_sa_island"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, (
+            f"island child failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+        )
+        return
+
     monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "interpret")
     monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN_DP", "1")
+    _run_fused_island_body(small_cfg, small_embedder, small_data)
+
+
+def _run_fused_island_body(small_cfg, small_embedder, small_data):
 
     n_dev = 8
     cfg = small_cfg.replace(
