@@ -184,6 +184,37 @@ def test_fused_train_shard_map_equals_dense():
                                    rtol=1e-4, atol=1e-3, err_msg=str(kd))
 
 
+def test_fused_train_list_parsing(monkeypatch):
+    """Per-level TEXT2LOC_FUSED_SA_TRAIN comma lists parse to explicit
+    booleans (bypassing the dtype gate); wrong arity raises; single values
+    defer to the gate (None)."""
+    from text2loc_tpu.models import pointnet2
+
+    monkeypatch.setattr(pointnet2.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("TEXT2LOC_DISABLE_PALLAS", raising=False)
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "1,0,1")
+    assert pointnet2._fused_train_list(3) == [True, False, True]
+    with pytest.raises(ValueError):
+        pointnet2._fused_train_list(2)
+    # Default (unset / "auto"): last level only — the measured winner.
+    monkeypatch.delenv("TEXT2LOC_FUSED_SA_TRAIN", raising=False)
+    assert pointnet2._fused_train_list(3) == [False, False, True]
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "auto")
+    assert pointnet2._fused_train_list(3) == [False, False, True]
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "1")
+    assert pointnet2._fused_train_list(3) == [True, True, True]
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "0")
+    assert pointnet2._fused_train_list(3) == [False, False, False]
+    # CPU backend: everything off except "interpret" (mesh tests).
+    monkeypatch.setattr(pointnet2.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "1,1,1")
+    assert pointnet2._fused_train_list(3) == [False, False, False]
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "interpret")
+    assert pointnet2._fused_train_list(3) == [True, True, True]
+    with pointnet2.suppress_fused_train():
+        assert pointnet2._fused_train_list(3) == [False, False, False]
+
+
 def test_suppress_fused_train_context(monkeypatch):
     """parallel/train._bind relies on suppress_fused_train to keep Mosaic
     custom calls out of GSPMD-partitioned DP traces; verify the gate flips

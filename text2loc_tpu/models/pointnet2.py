@@ -160,6 +160,44 @@ def _fused_train_default() -> bool:
     return os.environ.get("TEXT2LOC_FUSED_SA_TRAIN", "1") not in ("", "0")
 
 
+def _fused_train_list(n_levels: int):
+    """Per-SA-level fused_train booleans for the PointNet2 ladder.
+
+    TEXT2LOC_FUSED_SA_TRAIN values:
+    * unset / "auto" — the measured winner: fused kernel on the LAST level
+      only, any body dtype (per-level on-chip A/B, BENCHMARKS.md log #10:
+      sa3's H=256 tiles win big while sa1/sa2's fused passes lose to XLA in
+      context; coarse bf16 97.2 -> 83.4 ms, coarse f32 113.1 -> 90.1, fine
+      68.2 -> 58.0).
+    * "1" — all levels fused; "0"/"" — all XLA.
+    * "interpret" — all levels, interpret-mode kernels on any backend
+      (CPU-mesh tests of the DP shard_map island).
+    * comma list ("0,0,1") — explicit per-level selection.
+    TPU-only except "interpret"; DP suppression and TEXT2LOC_DISABLE_PALLAS
+    force XLA everywhere."""
+    v = os.environ.get("TEXT2LOC_FUSED_SA_TRAIN")
+    if v == "interpret":
+        if _FUSED_TRAIN_SUPPRESSED[0]:
+            return [False] * n_levels
+        return [True] * n_levels
+    if _FUSED_TRAIN_SUPPRESSED[0] or jax.default_backend() in (
+        "cpu", "gpu"
+    ) or os.environ.get("TEXT2LOC_DISABLE_PALLAS"):
+        return [False] * n_levels
+    if v is None or v == "auto":
+        return [False] * (n_levels - 1) + [True]
+    if "," not in v:
+        on = v not in ("", "0")
+        return [on] * n_levels
+    modes = [s.strip() for s in v.split(",")]
+    if len(modes) != n_levels:
+        raise ValueError(
+            f"TEXT2LOC_FUSED_SA_TRAIN={v!r}: expected {n_levels} "
+            f"comma-separated values, got {len(modes)}"
+        )
+    return [m not in ("", "0") for m in modes]
+
+
 def _approx_neighbors(default: bool) -> bool:
     """TEXT2LOC_APPROX_NEIGHBORS parsing: "0"/"" = exact top_k, "1" = approx.
 
@@ -471,6 +509,11 @@ class PointNet2(nn.Module):
             if self.fused is None
             else [self.fused] * len(c.sa_num_points)
         )
+        train_modes = (
+            _fused_train_list(len(c.sa_num_points))
+            if self.fused_train is None
+            else [self.fused_train] * len(c.sa_num_points)
+        )
         for i in range(len(c.sa_num_points)):
             centers_i = (
                 centers_all[:, : ladder[i]] if centers_all is not None else None
@@ -482,7 +525,7 @@ class PointNet2(nn.Module):
                 max_neighbors=c.sa_max_neighbors,
                 dtype=self.dtype,
                 fused=modes[i],
-                fused_train=self.fused_train,
+                fused_train=train_modes[i],
                 fused_interpret=self.fused_interpret,
                 name=f"sa{i + 1}",
             )(x, pos, obj_mask=obj_mask, train=train, centers=centers_i)

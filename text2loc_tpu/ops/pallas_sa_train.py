@@ -52,7 +52,7 @@ exact-equality tests), accumulation always f32.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
@@ -391,7 +391,7 @@ def _pad_n(arrs, n: int, n_pad: int):
             for a in arrs]
 
 
-def _specs(p, s, k, h1, h2, s_t, g_t):
+def _specs(p, k, h1, h2, s_t, g_t):
     """Common BlockSpecs: u, sv, idx, masks..., aux1, w2, aux2 [, dout]."""
     im_cloud = lambda i, j: (i, 0, 0)
     im_tile = lambda i, j: (i, j, 0)
@@ -425,7 +425,7 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
     n_pad = -(-n // g_t) * g_t
     cdt = jnp.dtype(compute_dtype)
     grid = (n_pad // g_t, s // s_t)
-    sp = _specs(p, s, k, h1, h2, s_t, g_t)
+    sp = _specs(p, k, h1, h2, s_t, g_t)
     mf = maskf.astype(jnp.float32)
     mm = maskm.astype(jnp.float32)
     u, sv, idx, mm, mf = _pad_n([u, sv, idx, mm, mf], n, n_pad)
@@ -543,7 +543,7 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     n_pad = -(-n // g_t) * g_t
     cdt = jnp.dtype(compute_dtype)
     grid = (n_pad // g_t, s // s_t)
-    sp = _specs(p, s, k, h1, h2, s_t, g_t)
+    sp = _specs(p, k, h1, h2, s_t, g_t)
     mf = maskf.astype(jnp.float32)
     mm = maskm.astype(jnp.float32)
     u, sv, idx, mm, mf, dout = _pad_n([u, sv, idx, mm, mf, dout], n, n_pad)
