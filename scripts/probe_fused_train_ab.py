@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--configs", nargs="*", default=["0", "1"],
+                    help="TEXT2LOC_FUSED_SA_TRAIN values to compare "
+                         "(e.g. 0 auto 0,0,1)")
     args = ap.parse_args()
 
     import jax
@@ -50,10 +53,10 @@ def main():
     data = MultiSceneArrays([scene])
 
     out = []
-    for env, tag in (("0", "xla"), ("1", "fused")):
+    for env in args.configs:
         os.environ["TEXT2LOC_FUSED_SA_TRAIN"] = env
         r = run(None, args.steps, args.batch, data, cfg)
-        r["sa_train"] = tag
+        r["sa_train"] = env
         out.append(r)
     print(json.dumps(out, indent=1))
 
