@@ -59,6 +59,39 @@ def test_table_queries_equal_full_trunk(setup, small_embedder):
     np.testing.assert_allclose(table, full, rtol=1e-4, atol=1e-5)
 
 
+def test_run_fine_sentence_table_equals_trunk(setup, small_embedder):
+    """run_fine with EvalConfig.sentence_table: the fine hint encodings
+    collapse to a [V, D] gather (the fine text path has no cross-sentence
+    head) — predictions must match the full-trunk path."""
+    import jax
+
+    from text2loc_tpu.evaluation.pipeline import run_fine
+    from text2loc_tpu.models.cross_matcher import CrossMatch
+    from text2loc_tpu.training import steps
+
+    cfg, data, _, _ = setup
+    model = CrossMatch(cfg.model)
+    opt = steps.make_optimizer(cfg, steps_per_epoch=4)
+    rng = jax.random.PRNGKey(1)
+    fb = steps.prepare_fine_batch(
+        data.gather_fine(np.arange(cfg.train.batch_size), cfg.model.pad_size),
+        small_embedder, cfg, rng, train=False,
+    )
+    state = steps.init_train_state(model, opt, rng, fb.objects, fb.text)
+
+    retr = np.tile(np.arange(2), (data.num_poses, 1))        # [Q, 2]
+    _, pos_full, _ = run_fine(
+        data, retr, state, model, small_embedder, cfg
+    )
+    cfg_t = cfg.replace(
+        eval=dataclasses.replace(cfg.eval, sentence_table=True)
+    )
+    _, pos_tbl, _ = run_fine(
+        data, retr, state, model, small_embedder, cfg_t
+    )
+    np.testing.assert_allclose(pos_tbl, pos_full, rtol=1e-4, atol=1e-5)
+
+
 def test_eval_retrieval_sentence_table_flag(setup, small_embedder):
     from text2loc_tpu.evaluation.retrieval import eval_retrieval
 

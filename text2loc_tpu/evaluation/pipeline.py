@@ -112,18 +112,45 @@ def run_fine(
             cell_indices=uniq, chunk=chunk,
         )
         # Encode each pose's hints once (shared by its K candidates).
-        hint_rows = []
-        for s in range(0, q, chunk):
-            ids = np.resize(np.arange(s, min(s + chunk, q)), chunk)
-            tb = {
-                "hint_dir": data.hint_dir[ids],
-                "hint_color": data.hint_color[ids],
-                "hint_label": data.hint_label[ids],
-                "sentence_mask": data.hint_mask[ids],
-            }
-            h = fwd.encode_text(state.params, state.batch_stats, tb)
-            hint_rows.append(np.asarray(h)[: min(chunk, q - s)])
-        hints = np.concatenate(hint_rows, axis=0)            # [Q, S, D]
+        if getattr(cfg.eval, "sentence_table", False):
+            # The fine text path is the per-sentence trunk ONLY (CrossMatch
+            # .encode_hints — no cross-sentence head), so over the closed
+            # vocabulary it is exactly a [V, D] table gather. Same
+            # construction as serving's fine sentence table; equality with
+            # the full trunk is float tolerance
+            # (tests/test_eval_sentence_table.py).
+            import jax.numpy as jnp
+
+            from text2loc_tpu import constants as C
+            from text2loc_tpu.data.batch import TextSet
+
+            v = embedder.table.shape[0]
+            vocab = TextSet(
+                token_embeds=jnp.asarray(embedder.table)[:, None],
+                token_mask=jnp.asarray(embedder.token_mask)[:, None],
+                sentence_mask=jnp.ones((v, 1), bool),
+            )
+            ftbl = jax.jit(
+                lambda p, s, t: model.apply(
+                    {"params": p, "batch_stats": s}, t, train=False,
+                    method=model.encode_hints,
+                )
+            )(state.params, state.batch_stats, vocab)[:, 0]   # [V, D]
+            ids = C.hint_id(data.hint_dir, data.hint_color, data.hint_label)
+            hints = np.asarray(jnp.take(ftbl, jnp.asarray(ids), axis=0))
+        else:
+            hint_rows = []
+            for s in range(0, q, chunk):
+                ids = np.resize(np.arange(s, min(s + chunk, q)), chunk)
+                tb = {
+                    "hint_dir": data.hint_dir[ids],
+                    "hint_color": data.hint_color[ids],
+                    "hint_label": data.hint_label[ids],
+                    "sentence_mask": data.hint_mask[ids],
+                }
+                h = fwd.encode_text(state.params, state.batch_stats, tb)
+                hint_rows.append(np.asarray(h)[: min(chunk, q - s)])
+            hints = np.concatenate(hint_rows, axis=0)        # [Q, S, D]
         # Per-pair: cached object embeddings x cached hint encodings.
         for s in range(0, total, chunk):
             idx = np.arange(s, min(s + chunk, total))
