@@ -354,10 +354,13 @@ class SetAbstraction(nn.Module):
         nbr_idx, nbr_mask = ball_query_knn(
             pos, centers, self.radius, self.max_neighbors, approx=approx
         )
-        # Env default applies only to f32 bodies: with --body_dtype bfloat16
-        # the XLA edge path measured FASTER than the fused kernel (97.2 vs
-        # 102.7 ms/step; BENCHMARKS.md log #10), so the per-mode winner is
-        # encoded here. An explicit fused_train attr always wins.
+        # Inside the PointNet2 ladder this attr always arrives as an
+        # explicit per-level boolean (_fused_train_list — the "auto"
+        # default fuses only the last level, the measured winner at any
+        # body dtype; BENCHMARKS.md log #10). The attr-None fallback below
+        # covers STANDALONE SetAbstraction use and stays conservative:
+        # env-default gated to f32 bodies (all-level fusing measured slower
+        # at bf16).
         fused_train = (
             self.fused_train if self.fused_train is not None
             else (_fused_train_default() and self.dtype == jnp.float32)
