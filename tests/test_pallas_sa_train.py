@@ -114,6 +114,83 @@ def test_backward_multi_tile_grid():
                                    rtol=5e-4, atol=2.5e-3)
 
 
+def test_cached_e_f32_bit_equal_and_grads():
+    """cache_dtype=f32: the cached-e variant must match the jnp oracle the
+    same way the recompute variant does (stats are taken of the rounded e,
+    and f32 rounding is the identity), forward AND backward — including the
+    final kernel's rebuilt one-hot transpose for du."""
+    args = _rand_case(4)
+    fwd_cached = functools.partial(
+        sa_train_fused, compute_dtype=jnp.float32, interpret=True,
+        cache_dtype=jnp.float32,
+    )
+    out, stats = fwd_cached(*args)
+    want_out, want_stats = oracle(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               rtol=1e-5, atol=1e-5)
+    for got, want in zip(stats, want_stats):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    diff, rest = args[:8], args[8:]
+    rng = np.random.default_rng(44)
+    cot = jnp.asarray(rng.standard_normal((4, 8, 16)).astype(np.float32))
+
+    def loss_c(*d):
+        o, _ = fwd_cached(*d, *rest)
+        return jnp.sum(o * cot)
+
+    def loss_o(*d):
+        o, _ = oracle(*d, *rest)
+        return jnp.sum(o * cot)
+
+    got = jax.grad(loss_c, argnums=tuple(range(8)))(*diff)
+    want = jax.grad(loss_o, argnums=tuple(range(8)))(*diff)
+    for name, g, w in zip(
+        ["u", "sv", "w2", "b2", "g1", "be1", "g2", "be2"], got, want
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=2.5e-3,
+            err_msg=f"cached-e grad mismatch for {name}",
+        )
+
+
+def test_cached_e_multi_tile():
+    """Cached-e path with a multi-tile S grid (cross-tile accumulators +
+    the du accumulation over the j axis)."""
+    args = _rand_case(5, n=3, p=64, s=32, k=2, h1=8, h2=8)
+    diff, rest = args[:8], args[8:]
+    fwd_cached = functools.partial(
+        sa_train_fused, compute_dtype=jnp.float32, interpret=True,
+        cache_dtype=jnp.float32,
+    )
+
+    def loss_c(*d):
+        o, _ = fwd_cached(*d, *rest)
+        return jnp.sum(o ** 2)
+
+    def loss_o(*d):
+        o, _ = oracle(*d, *rest)
+        return jnp.sum(o ** 2)
+
+    got = jax.grad(loss_c, argnums=tuple(range(8)))(*diff)
+    want = jax.grad(loss_o, argnums=tuple(range(8)))(*diff)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-4, atol=2.5e-3)
+
+
+def test_cached_e_bf16_close():
+    args = _rand_case(6)
+    out32, _ = FUSED_F32(*args)
+    out16, _ = sa_train_fused(
+        *args, compute_dtype=jnp.float32, interpret=True,
+        cache_dtype=jnp.bfloat16,
+    )
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.05, atol=0.05)
+
+
 def test_bf16_compute_close_to_f32():
     args = _rand_case(3)
     out32, _ = FUSED_F32(*args)
@@ -124,12 +201,15 @@ def test_bf16_compute_close_to_f32():
                                rtol=0.05, atol=0.05)
 
 
-def test_fused_train_shard_map_equals_dense():
+@pytest.mark.parametrize("variant", [True, "e32"])
+def test_fused_train_shard_map_equals_dense(variant):
     """SetAbstraction's fused training path inside fused_train_mesh (the
     shard_map island with psum'd BN statistics) must reproduce the dense
     single-device fused path: forward, updated batch_stats, AND gradients
     — including replicated-parameter grads, which shard_map's transpose
-    must psum across the 8 virtual devices."""
+    must psum across the 8 virtual devices. Covers both the recompute
+    variant and the cached-e variant (whose _forward_e/_backward_e have
+    their own axis_name psum points)."""
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -144,7 +224,7 @@ def test_fused_train_shard_map_equals_dense():
 
     mod = SetAbstraction(
         num_samples=16, radius=0.4, mlp_channels=(c + 3, 8, 16),
-        max_neighbors=8, fused="off", fused_train=True,
+        max_neighbors=8, fused="off", fused_train=variant,
         fused_interpret=True,
     )
     params = mod.init(jax.random.PRNGKey(0), x, pos, obj_mask, train=True)
@@ -231,10 +311,12 @@ def test_suppress_fused_train_context(monkeypatch):
     assert pointnet2._fused_train_default() is True
 
 
-def test_module_fused_train_matches_xla_path():
-    """SetAbstraction(train=True) with the fused training kernel: forward,
-    gradients, and updated batch_stats all match the XLA path on the same
-    parameters (identical exact neighbor selection)."""
+@pytest.mark.parametrize("variant", [True, "e32"])
+def test_module_fused_train_matches_xla_path(variant):
+    """SetAbstraction(train=True) with the fused training kernel (recompute
+    variant and cached-e f32 variant): forward, gradients, and updated
+    batch_stats all match the XLA path on the same parameters (identical
+    exact neighbor selection)."""
     from text2loc_tpu.models.pointnet2 import SetAbstraction
 
     rng = np.random.default_rng(5)
@@ -244,6 +326,8 @@ def test_module_fused_train_matches_xla_path():
     obj_mask = jnp.asarray([True] * (n - 1) + [False])
 
     def build(fused_train):
+        if fused_train is True:
+            fused_train = variant
         return SetAbstraction(
             num_samples=16, radius=0.4, mlp_channels=(c + 3, 8, 16),
             max_neighbors=8, fused="off", fused_train=fused_train,

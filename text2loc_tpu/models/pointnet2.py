@@ -184,18 +184,30 @@ def _fused_train_list(n_levels: int):
         "cpu", "gpu"
     ) or os.environ.get("TEXT2LOC_DISABLE_PALLAS"):
         return [False] * n_levels
+    def tok(m):
+        # "e"/"e32": cached-edge kernel variant (bf16 / f32 HBM cache);
+        # "1": recompute variant; "0"/"": XLA path.
+        if m in ("e", "e32"):
+            return m
+        if m in ("", "0"):
+            return False
+        if m == "1":
+            return True
+        raise ValueError(
+            f"TEXT2LOC_FUSED_SA_TRAIN token {m!r}: expected 0|1|e|e32"
+        )
+
     if v is None or v == "auto":
         return [False] * (n_levels - 1) + [True]
     if "," not in v:
-        on = v not in ("", "0")
-        return [on] * n_levels
+        return [tok(v)] * n_levels
     modes = [s.strip() for s in v.split(",")]
     if len(modes) != n_levels:
         raise ValueError(
             f"TEXT2LOC_FUSED_SA_TRAIN={v!r}: expected {n_levels} "
             f"comma-separated values, got {len(modes)}"
         )
-    return [m not in ("", "0") for m in modes]
+    return [tok(m) for m in modes]
 
 
 def _approx_neighbors(default: bool) -> bool:
@@ -381,6 +393,12 @@ class SetAbstraction(nn.Module):
             ).astype(jnp.float32)
             u = jnp.dot(both, w1) + biases[0]
             sv = jnp.dot(centers.astype(jnp.float32), w1[c:])
+            # fused_train token "e"/"e32": cache the edge tensor in HBM
+            # (bf16 / f32) instead of recomputing it per kernel pass — see
+            # sa_train_fused's cache_dtype doc. True = recompute variant.
+            cache_dtype = {"e": jnp.bfloat16, "e32": jnp.float32}.get(
+                fused_train
+            )
             call = functools.partial(
                 sa_train_fused,
                 eps=self.bn_eps,
@@ -388,6 +406,7 @@ class SetAbstraction(nn.Module):
                 interpret=self.fused_interpret or (
                     os.environ.get("TEXT2LOC_FUSED_SA_TRAIN") == "interpret"
                 ),
+                cache_dtype=cache_dtype,
             )
             if _FUSED_TRAIN_MESH[0] is not None:
                 from jax.sharding import PartitionSpec as P

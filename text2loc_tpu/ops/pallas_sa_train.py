@@ -367,6 +367,213 @@ def _k_bwd_in(u_ref, sv_ref, idx_ref, mm_ref, mf_ref, aux1_ref, w2_ref,
     jax.lax.fori_loop(0, g_t, body, 0)
 
 
+def _h1_from_e(e, aux1_ref):
+    a1 = aux1_ref[0]
+    c1 = aux1_ref[1]
+    return jnp.maximum(e * a1[None, :] + c1[None, :], 0.0)
+
+
+def _z_from_e(e, aux1_ref, w2_ref, aux2_ref, cdt):
+    h1v = _h1_from_e(e, aux1_ref)
+    z = jnp.dot(h1v.astype(cdt), w2_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32)
+    return h1v, z + aux2_ref[6][None, :]
+
+
+def _k_stats1e(u_ref, sv_ref, idx_ref, mf_ref, e_ref, acc_ref, *, cdt, g_t):
+    """Cached-e stats1: compute e once (gather), ROUND to the cache dtype,
+    write it out, and take BN1 statistics of the ROUNDED values — the whole
+    level then consistently sees the cached e (cache dtype f32 == the
+    recompute path bit-for-bit)."""
+    h1 = u_ref.shape[-1]
+    lanes = _lanes(idx_ref, u_ref.shape[1])
+
+    def body(gi, carry):
+        s1, q1, cnt = carry
+        _, e, _, _ = _edge_pipe(u_ref[gi], sv_ref[gi], idx_ref[gi], None,
+                                None, None, cdt, lanes, upto="e")
+        ec = e.astype(e_ref.dtype)
+        e_ref[gi] = ec
+        ef = ec.astype(jnp.float32)
+        mf = _mask_wide(mf_ref[gi], h1)
+        return (s1 + jnp.sum(ef * mf, axis=0),
+                q1 + jnp.sum(ef * ef * mf, axis=0),
+                cnt + jnp.sum(mf_ref[gi]))
+
+    zero = jnp.zeros((h1,), jnp.float32)
+    s1, q1, cnt = jax.lax.fori_loop(
+        0, g_t, body, (zero, zero, jnp.float32(0.0)))
+    _acc_rows(acc_ref, [s1, q1, cnt * jnp.ones((h1,), jnp.float32)])
+
+
+def _k_stats2e(e_ref, mf_ref, aux1_ref, w2_ref, aux2_ref, acc_ref, *,
+               cdt, g_t):
+    h2 = w2_ref.shape[1]
+
+    def body(gi, carry):
+        s2, q2 = carry
+        e = e_ref[gi].astype(jnp.float32)
+        _, z = _z_from_e(e, aux1_ref, w2_ref, aux2_ref, cdt)
+        mf = _mask_wide(mf_ref[gi], h2)
+        return (s2 + jnp.sum(z * mf, axis=0),
+                q2 + jnp.sum(z * z * mf, axis=0))
+
+    zero = jnp.zeros((h2,), jnp.float32)
+    s2, q2 = jax.lax.fori_loop(0, g_t, body, (zero, zero))
+    _acc_rows(acc_ref, [s2, q2])
+
+
+def _k_oute(e_ref, mm_ref, aux1_ref, w2_ref, aux2_ref, out_ref, *,
+            cdt, g_t, k):
+    def body(gi, _):
+        e = e_ref[gi].astype(jnp.float32)
+        _, z = _z_from_e(e, aux1_ref, w2_ref, aux2_ref, cdt)
+        a2 = aux2_ref[0]
+        c2 = aux2_ref[1]
+        h2 = jnp.maximum(z * a2[None, :] + c2[None, :], 0.0)
+        s_t = mm_ref.shape[1]
+        h23 = h2.reshape(s_t, k, -1)
+        mm = mm_ref[gi][:, :, None]
+        filled = jnp.where(mm > 0.0, h23, NEG)
+        pooled = jnp.max(filled, axis=1)
+        any_m = jnp.max(mm[:, :, 0], axis=1, keepdims=True)
+        out_ref[gi] = jnp.where(any_m > 0.0, pooled, 0.0).astype(
+            out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, g_t, body, 0)
+
+
+def _dy2_from_e(gi, e_ref, mm_ref, aux1_ref, w2_ref, aux2_ref, do_ref,
+                cdt, k):
+    e = e_ref[gi].astype(jnp.float32)
+    h1v, z = _z_from_e(e, aux1_ref, w2_ref, aux2_ref, cdt)
+    a2 = aux2_ref[0]
+    c2 = aux2_ref[1]
+    y2 = z * a2[None, :] + c2[None, :]
+    h2 = jnp.maximum(y2, 0.0)
+    s_t = mm_ref.shape[1]
+    h23 = h2.reshape(s_t, k, -1)
+    mm = mm_ref[gi][:, :, None]
+    filled = jnp.where(mm > 0.0, h23, NEG)
+    mx = jnp.max(filled, axis=1, keepdims=True)
+    eq = jnp.where((filled >= mx) & (mm > 0.0), 1.0, 0.0)
+    cnt = jnp.maximum(jnp.sum(eq, axis=1, keepdims=True), 1.0)
+    dh2 = (do_ref[gi].astype(jnp.float32)[:, None, :] * eq / cnt).reshape(
+        s_t * k, -1
+    )
+    r2 = jnp.where(y2 > 0.0, 1.0, 0.0)
+    return e, h1v, z, dh2 * r2
+
+
+def _k_bwd_statse(e_ref, mm_ref, aux1_ref, w2_ref, aux2_ref, do_ref,
+                  acc_ref, *, cdt, g_t, k):
+    h2 = w2_ref.shape[1]
+
+    def body(gi, carry):
+        sA, sB = carry
+        _, _, z, dy2 = _dy2_from_e(gi, e_ref, mm_ref, aux1_ref, w2_ref,
+                                   aux2_ref, do_ref, cdt, k)
+        yhat2 = (z - aux2_ref[2][None, :]) * aux2_ref[3][None, :]
+        return (sA + jnp.sum(dy2, axis=0),
+                sB + jnp.sum(dy2 * yhat2, axis=0))
+
+    zero = jnp.zeros((h2,), jnp.float32)
+    sA, sB = jax.lax.fori_loop(0, g_t, body, (zero, zero))
+    _acc_rows(acc_ref, [sA, sB])
+
+
+def _dy1_from_e(gi, e_ref, mm_ref, mf_ref, aux1_ref, w2_ref, aux2_ref,
+                do_ref, cdt, k):
+    """(e, h1, dz, dy1, yhat1) for cloud gi of a cached-e backward tile."""
+    e, h1v, z, dy2 = _dy2_from_e(gi, e_ref, mm_ref, aux1_ref, w2_ref,
+                                 aux2_ref, do_ref, cdt, k)
+    dz = _dz_cloud(z, dy2, _mask_wide(mf_ref[gi], z.shape[1]), aux2_ref)
+    dh1 = jax.lax.dot_general(
+        dz.astype(cdt), w2_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a1 = aux1_ref[0]
+    c1 = aux1_ref[1]
+    r1 = jnp.where(e * a1[None, :] + c1[None, :] > 0.0, 1.0, 0.0)
+    dy1 = dh1 * r1
+    yhat1 = (e - aux1_ref[2][None, :]) * aux1_ref[3][None, :]
+    return e, h1v, dz, dy1, yhat1
+
+
+def _k_bwd_mide(e_ref, mm_ref, mf_ref, aux1_ref, w2_ref, aux2_ref, do_ref,
+                acc1_ref, dw2_ref, db2_ref, *, cdt, g_t, k):
+    h1 = aux1_ref.shape[1]
+    h2 = w2_ref.shape[1]
+
+    def body(gi, carry):
+        sA, sB, dw2, db2 = carry
+        _, h1v, dz, dy1, yhat1 = _dy1_from_e(
+            gi, e_ref, mm_ref, mf_ref, aux1_ref, w2_ref, aux2_ref, do_ref,
+            cdt, k)
+        dw2_part = jax.lax.dot_general(
+            h1v.astype(cdt), dz.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (sA + jnp.sum(dy1, axis=0),
+                sB + jnp.sum(dy1 * yhat1, axis=0),
+                dw2 + dw2_part,
+                db2 + jnp.sum(dz, axis=0))
+
+    sA, sB, dw2_part, db2_row = jax.lax.fori_loop(
+        0, g_t, body,
+        (jnp.zeros((h1,), jnp.float32), jnp.zeros((h1,), jnp.float32),
+         jnp.zeros((h1, h2), jnp.float32), jnp.zeros((h2,), jnp.float32)))
+    _acc_rows(acc1_ref, [sA, sB])
+    db2_part = jnp.stack(
+        [db2_row]
+        + [jnp.zeros((h2,), jnp.float32)] * (db2_ref.shape[0] - 1)
+    )
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dw2_ref[:, :] = dw2_part
+        db2_ref[:, :] = db2_part
+
+    @pl.when((pl.program_id(0) > 0) | (pl.program_id(1) > 0))
+    def _acc():
+        dw2_ref[:, :] = dw2_ref[:, :] + dw2_part
+        db2_ref[:, :] = db2_ref[:, :] + db2_part
+
+
+def _k_bwd_ine(e_ref, idx_ref, mm_ref, mf_ref, aux1_ref, w2_ref, aux2_ref,
+               do_ref, du_ref, dsv_ref, *, cdt, g_t, k):
+    p = du_ref.shape[1]
+    lanes = _lanes(idx_ref, p)
+    first_j = pl.program_id(1) == 0
+
+    def body(gi, _):
+        e, _, _, dy1, yhat1 = _dy1_from_e(
+            gi, e_ref, mm_ref, mf_ref, aux1_ref, w2_ref, aux2_ref, do_ref,
+            cdt, k)
+        a1 = aux1_ref[0]
+        corr = aux1_ref[4][None, :] + yhat1 * aux1_ref[5][None, :]
+        mf1 = _mask_wide(mf_ref[gi], e.shape[1])
+        de = a1[None, :] * (dy1 - mf1 * corr)       # [T, H1]
+
+        s_t = idx_ref.shape[1]
+        oh = (lanes == idx_ref[gi][:, :, None]).astype(cdt).reshape(
+            s_t * k, p)
+        du_part = jax.lax.dot_general(
+            oh, de.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(du_ref.dtype)
+
+        prev = jnp.where(first_j, jnp.zeros_like(du_part), du_ref[gi])
+        du_ref[gi] = prev + du_part
+        dsv_ref[gi] = (-jnp.sum(de.reshape(s_t, k, -1), axis=1)).astype(
+            dsv_ref.dtype
+        )
+        return 0
+
+    jax.lax.fori_loop(0, g_t, body, 0)
+
+
 def _s_tile(s: int, k: int) -> int:
     """S-tile size: keep the [s_t*K, P] one-hot and the f32 edge tensors
     within the VMEM budget; S must be divisible (S and K are powers of two
@@ -489,10 +696,224 @@ def _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
     return out, stats, (aux1, aux2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _tiles_e(n, s, k, h1, esize):
+    """(g_t, s_t) for the cached-e kernels: cap the per-program e block at
+    ~1 MB of VMEM. The bwd-in kernel's loop scratch (one-hot [T, P] +
+    half a dozen [T, H1] f32 intermediates) scales with the same tile and
+    measured 17 MB scoped stack at a 2 MB e budget on sa1 shapes — 1 MB
+    keeps every level under the 16 MB limit."""
+    g_t = _g_tile(n)
+    s_t = _s_tile(s, k)
+    budget = 1024 * 1024
+    # Mosaic requires the sublane (second-minor) block dim divisible by 8
+    # unless it equals the full array dim, and the sv/dout blocks are
+    # (g_t, s_t, H) — so s_t must stay >= 8 once it leaves s. Shed grid
+    # width via s_t down to that floor, then via g_t.
+    while g_t * s_t * k * h1 * esize > budget and s_t > 8 and s_t % 2 == 0:
+        s_t //= 2
+    while g_t * s_t * k * h1 * esize > budget and g_t > 1:
+        g_t //= 2
+    return g_t, s_t
+
+
+def _especs(k, h1, h2, s_t, g_t, edt):
+    im_tile = lambda i, j: (i, j, 0)
+    im_w = lambda i, j: (0, 0)
+    return {
+        "e": pl.BlockSpec((g_t, s_t * k, h1), im_tile,
+                          memory_space=pltpu.VMEM),
+        "idx": pl.BlockSpec((g_t, s_t, k), im_tile, memory_space=pltpu.VMEM),
+        "mask": pl.BlockSpec((g_t, s_t, k), im_tile, memory_space=pltpu.VMEM),
+        "aux1": pl.BlockSpec((8, h1), im_w, memory_space=pltpu.VMEM),
+        "w2": pl.BlockSpec((h1, h2), im_w, memory_space=pltpu.VMEM),
+        "aux2": pl.BlockSpec((8, h2), im_w, memory_space=pltpu.VMEM),
+        "dout": pl.BlockSpec((g_t, s_t, h2), im_tile, memory_space=pltpu.VMEM),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("compute_dtype", "interpret", "axis_name", "cache_dtype"),
+)
+def _forward_e(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
+               compute_dtype, interpret, axis_name, cache_dtype):
+    """Cached-e forward: the [N, S*K, H1] edge tensor is written ONCE (in
+    `cache_dtype`) by the stats1 kernel and re-read by every later pass —
+    trading the recompute variant's per-pass one-hot gather matmuls for
+    cheap HBM streams of a (usually bf16) tensor. cache_dtype f32 is
+    bit-identical to the recompute path (stats are taken of the rounded e,
+    so the level is self-consistent at any cache dtype)."""
+    n, p, h1 = u.shape
+    s, k = idx.shape[1:]
+    h2 = w2.shape[1]
+    edt = jnp.dtype(cache_dtype)
+    g_t, s_t = _tiles_e(n, s, k, h1, edt.itemsize)
+    n_pad = -(-n // g_t) * g_t
+    cdt = jnp.dtype(compute_dtype)
+    grid = (n_pad // g_t, s // s_t)
+    sp = _specs(p, k, h1, h2, s_t, g_t)
+    se = _especs(k, h1, h2, s_t, g_t, edt)
+    mf = maskf.astype(jnp.float32)
+    mm = maskm.astype(jnp.float32)
+    u, sv, idx, mm, mf = _pad_n([u, sv, idx, mm, mf], n, n_pad)
+    zero1 = jnp.zeros((8, h1), jnp.float32)
+    zero2 = jnp.zeros((8, h2), jnp.float32)
+
+    e, acc1 = pl.pallas_call(
+        functools.partial(_k_stats1e, cdt=cdt, g_t=g_t),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, s * k, h1), edt),
+            jax.ShapeDtypeStruct((8, h1), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[sp["u"], sp["sv"], sp["idx"], sp["mask"]],
+        out_specs=[
+            se["e"],
+            pl.BlockSpec((8, h1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(u, sv, idx, mf)
+
+    acc1 = _psum(acc1, axis_name)
+    n1 = jnp.maximum(acc1[2, 0], 1.0)
+    m1 = acc1[0] / n1
+    v1 = jnp.maximum(acc1[1] / n1 - m1 * m1, 0.0)
+    inv1 = jax.lax.rsqrt(v1 + eps)
+    a1 = g1 * inv1
+    c1 = be1 - m1 * a1
+    aux1 = zero1.at[0].set(a1).at[1].set(c1).at[2].set(m1).at[3].set(inv1)
+    aux2 = zero2.at[6].set(b2)
+
+    acc2 = pl.pallas_call(
+        functools.partial(_k_stats2e, cdt=cdt, g_t=g_t),
+        out_shape=jax.ShapeDtypeStruct((8, h2), jnp.float32),
+        grid=grid,
+        in_specs=[se["e"], sp["mask"], sp["aux1"], sp["w2"], sp["aux2"]],
+        out_specs=pl.BlockSpec((8, h2), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(e, mf, aux1, w2, aux2)
+
+    acc2 = _psum(acc2, axis_name)
+    m2 = acc2[0] / n1
+    v2 = jnp.maximum(acc2[1] / n1 - m2 * m2, 0.0)
+    inv2 = jax.lax.rsqrt(v2 + eps)
+    a2 = g2 * inv2
+    c2 = be2 - m2 * a2
+    aux2 = aux2.at[0].set(a2).at[1].set(c2).at[2].set(m2).at[3].set(inv2)
+
+    out = pl.pallas_call(
+        functools.partial(_k_oute, cdt=cdt, g_t=g_t, k=k),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s, h2), u.dtype),
+        grid=grid,
+        in_specs=[se["e"], sp["mask"], sp["aux1"], sp["w2"], sp["aux2"]],
+        out_specs=pl.BlockSpec((g_t, s_t, h2), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(e, mm, aux1, w2, aux2)[:n]
+    stats = (m1, v1, m2, v2, n1)
+    return out, stats, (aux1, aux2), e[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("compute_dtype", "interpret", "axis_name"),
+)
+def _backward_e(e, u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
+                compute_dtype, interpret, axis_name=None):
+    """Cached-e backward: three kernels re-reading the stored e. `u`/`sv`
+    are residual-carried only for their shapes/dtypes (du/dsv avals); the
+    one-hot gather transpose in the final kernel rebuilds oh from idx."""
+    n, p, h1 = u.shape
+    s, k = idx.shape[1:]
+    h2 = w2.shape[1]
+    edt = e.dtype
+    g_t, s_t = _tiles_e(n, s, k, h1, jnp.dtype(edt).itemsize)
+    n_pad = -(-n // g_t) * g_t
+    cdt = jnp.dtype(compute_dtype)
+    grid = (n_pad // g_t, s // s_t)
+    sp = _specs(p, k, h1, h2, s_t, g_t)
+    se = _especs(k, h1, h2, s_t, g_t, edt)
+    mf = maskf.astype(jnp.float32)
+    mm = maskm.astype(jnp.float32)
+    e, idx, mm, mf, dout = _pad_n([e, idx, mm, mf, dout], n, n_pad)
+
+    accA2 = pl.pallas_call(
+        functools.partial(_k_bwd_statse, cdt=cdt, g_t=g_t, k=k),
+        out_shape=jax.ShapeDtypeStruct((8, h2), jnp.float32),
+        grid=grid,
+        in_specs=[se["e"], sp["mask"], sp["aux1"], sp["w2"], sp["aux2"],
+                  sp["dout"]],
+        out_specs=pl.BlockSpec((8, h2), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(e, mm, aux1, w2, aux2, dout)
+
+    dbe2 = accA2[0]
+    dg2 = accA2[1]
+    accA2 = _psum(accA2, axis_name)
+    aux2b = aux2.at[4].set(accA2[0] / n1).at[5].set(accA2[1] / n1)
+
+    accA1, dw2, db2row = pl.pallas_call(
+        functools.partial(_k_bwd_mide, cdt=cdt, g_t=g_t, k=k),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, h1), jnp.float32),
+            jax.ShapeDtypeStruct((h1, h2), jnp.float32),
+            jax.ShapeDtypeStruct((8, h2), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[se["e"], sp["mask"], sp["mask"], sp["aux1"], sp["w2"],
+                  sp["aux2"], sp["dout"]],
+        out_specs=[
+            pl.BlockSpec((8, h1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, h2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, h2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(e, mm, mf, aux1, w2, aux2b, dout)
+
+    dbe1 = accA1[0]
+    dg1 = accA1[1]
+    db2 = db2row[0]
+    accA1 = _psum(accA1, axis_name)
+    aux1b = aux1.at[4].set(accA1[0] / n1).at[5].set(accA1[1] / n1)
+
+    # The input-grads kernel rebuilds the [s_t*K, P] one-hot transpose plus
+    # ~10 [s_t*K, H] f32 loop temps per cloud — at sa1-like shapes (P=256,
+    # s_t=64) that stack measured 16.6 MB scoped VMEM, 612 KB over the
+    # limit. Shrink ITS s-tile until the one-hot stays under 1 MB; the
+    # other kernels keep the wider tile (their scratch is e-sized only).
+    s_t3 = s_t
+    while s_t3 * k * p * 4 > 1024 * 1024 and s_t3 > 8 and s_t3 % 2 == 0:
+        s_t3 //= 2
+    sp3 = _specs(p, k, h1, h2, s_t3, g_t)
+    se3 = _especs(k, h1, h2, s_t3, g_t, edt)
+    du, dsv = pl.pallas_call(
+        functools.partial(_k_bwd_ine, cdt=cdt, g_t=g_t, k=k),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, p, h1), u.dtype),
+            jax.ShapeDtypeStruct((n_pad, s, h1), sv.dtype),
+        ],
+        grid=(n_pad // g_t, s // s_t3),
+        in_specs=[se3["e"], sp3["idx"], sp3["mask"], sp3["mask"],
+                  sp3["aux1"], sp3["w2"], sp3["aux2"], sp3["dout"]],
+        out_specs=[
+            pl.BlockSpec((g_t, p, h1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_t, s_t3, h1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(e, idx, mm, mf, aux1b, w2, aux2b, dout)
+    return du[:n], dsv[:n], dw2, db2, dg1, dbe1, dg2, dbe2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
 def sa_train_fused(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf,
                    eps: float = 1e-5, compute_dtype=jnp.bfloat16,
-                   interpret: bool = False, axis_name=None):
+                   interpret: bool = False, axis_name=None,
+                   cache_dtype=None):
     """One SA level's TRAINING forward with batch-statistic BatchNorm.
 
     Args:
@@ -510,23 +931,41 @@ def sa_train_fused(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf,
             semantics. Parameter gradients are returned as LOCAL partial
             sums: shard_map's transpose of the replicated param inputs
             psums them.
+        cache_dtype: None (default) recomputes the edge pipeline per pass;
+            a dtype (bf16/f32) instead CACHES the [N, S*K, H1] edge tensor
+            in HBM once and re-reads it — fewer gather matmuls per level at
+            the cost of one (usually bf16) HBM tensor. f32 cache is
+            bit-identical to the recompute path.
 
     Returns:
         (out [N, S, H2], (mean1, var1_biased, mean2, var2_biased, count))
         — stats for the running-average update (not differentiated).
     """
-    out, stats, _ = _forward(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm,
-                             maskf, eps, compute_dtype, interpret, axis_name)
+    if cache_dtype is None:
+        out, stats, _ = _forward(
+            u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
+            compute_dtype, interpret, axis_name)
+    else:
+        out, stats, _, _ = _forward_e(
+            u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
+            compute_dtype, interpret, axis_name, cache_dtype)
     return out, stats
 
 
 def _sa_fwd(u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
-            compute_dtype, interpret, axis_name):
-    out, stats, (aux1, aux2) = _forward(
-        u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
-        compute_dtype, interpret, axis_name,
-    )
-    res = (u, sv, w2, idx, maskm, maskf, aux1, aux2, stats[4])
+            compute_dtype, interpret, axis_name, cache_dtype):
+    if cache_dtype is None:
+        out, stats, (aux1, aux2) = _forward(
+            u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
+            compute_dtype, interpret, axis_name,
+        )
+        res = (u, sv, w2, idx, maskm, maskf, aux1, aux2, stats[4], None)
+    else:
+        out, stats, (aux1, aux2), e = _forward_e(
+            u, sv, w2, b2, g1, be1, g2, be2, idx, maskm, maskf, eps,
+            compute_dtype, interpret, axis_name, cache_dtype,
+        )
+        res = (u, sv, w2, idx, maskm, maskf, aux1, aux2, stats[4], e)
     return (out, stats), res
 
 
@@ -615,13 +1054,19 @@ def _backward(u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     return du[:n], dsv[:n], dw2, db2, dg1, dbe1, dg2, dbe2
 
 
-def _sa_bwd(eps, compute_dtype, interpret, axis_name, res, cts):
-    u, sv, w2, idx, maskm, maskf, aux1, aux2, n1 = res
+def _sa_bwd(eps, compute_dtype, interpret, axis_name, cache_dtype, res, cts):
+    u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, e = res
     dout, _ = cts                                   # stats are buffers
-    du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2 = _backward(
-        u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
-        compute_dtype, interpret, axis_name,
-    )
+    if cache_dtype is None:
+        du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2 = _backward(
+            u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
+            compute_dtype, interpret, axis_name,
+        )
+    else:
+        du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2 = _backward_e(
+            e, u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
+            compute_dtype, interpret, axis_name,
+        )
     zero_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return (du, dsv, dw2, db2, dg1, dbe1, dg2, dbe2,
             zero_i,
