@@ -69,15 +69,23 @@ def main():
         out, _ = sa_train_fused(*d, *rest, compute_dtype=jnp.float32)
         return jnp.sum(out * cot), out
 
+    def loss_cached(*d):
+        out, _ = sa_train_fused(*d, *rest, compute_dtype=jnp.float32,
+                                cache_dtype=jnp.float32)
+        return jnp.sum(out * cot), out
+
     def loss_ref(*d):
         out, _ = sa_train_reference(*d, *rest)
         return jnp.sum(out * cot), out
 
     gf_fn = jax.jit(jax.value_and_grad(loss_fused, argnums=tuple(range(8)),
                                        has_aux=True))
+    gc_fn = jax.jit(jax.value_and_grad(loss_cached, argnums=tuple(range(8)),
+                                       has_aux=True))
     gr_fn = jax.jit(jax.value_and_grad(loss_ref, argnums=tuple(range(8)),
                                        has_aux=True))
     (lf, of), gf = gf_fn(*diff)
+    (lc, oc), gc = gc_fn(*diff)
     with jax.default_matmul_precision("highest"):
         (lr, orr), gr = gr_fn(*diff)
     # Context line: XLA's own default-precision reference sits at the same
@@ -86,12 +94,17 @@ def main():
     # mode this probe exists to catch is the round-2 class of miscompile
     # (exactly-zero gradients), checked strictly below.
     (ld, od), gd = gr_fn(*diff)
-    of, orr, od = np.asarray(of), np.asarray(orr), np.asarray(od)
+    of, oc, orr, od = (np.asarray(of), np.asarray(oc), np.asarray(orr),
+                       np.asarray(od))
     print(f"kernel fwd rel-to-peak vs true-f32 oracle: fused "
-          f"{_rel_to_peak(of, orr):.2e}, xla-default {_rel_to_peak(od, orr):.2e} "
-          f"(loss {float(lf):.5f} / {float(lr):.5f} / {float(ld):.5f})",
+          f"{_rel_to_peak(of, orr):.2e}, cached-e32 "
+          f"{_rel_to_peak(oc, orr):.2e}, xla-default "
+          f"{_rel_to_peak(od, orr):.2e} "
+          f"(loss {float(lf):.5f} / {float(lc):.5f} / {float(lr):.5f} / "
+          f"{float(ld):.5f})",
           flush=True)
     assert _rel_to_peak(of, orr) < 1e-2
+    assert _rel_to_peak(oc, orr) < 1e-2
     # Gradients are precision-CHAOTIC here, not precision-stable: a ~3e-3
     # forward wobble flips masked-max winners and relu boundaries, re-routing
     # whole gradient contributions — XLA's own default-precision path shows
@@ -101,16 +114,20 @@ def main():
     # (the round-2 bf16 failure mode).
     names = ["u", "sv", "w2", "b2", "g1", "be1", "g2", "be2"]
     bad = 0
-    for name, a, b, d in zip(names, gf, gr, gd):
-        a, b, d = np.asarray(a), np.asarray(b), np.asarray(d)
+    for name, a, cc, b, d in zip(names, gf, gc, gr, gd):
+        a, cc, b, d = (np.asarray(a), np.asarray(cc), np.asarray(b),
+                       np.asarray(d))
         nb = max(float(np.linalg.norm(b)), 1e-6)
         rel_f = float(np.linalg.norm(a - b)) / nb
+        rel_c = float(np.linalg.norm(cc - b)) / nb
         rel_d = float(np.linalg.norm(d - b)) / nb
-        zero = a.any() != b.any()
-        ok = (not zero) and rel_f <= max(3.0 * rel_d, 1e-3)
+        zero = (a.any() != b.any()) or (cc.any() != b.any())
+        ok = (not zero) and rel_f <= max(3.0 * rel_d, 1e-3) \
+            and rel_c <= max(3.0 * rel_d, 1e-3)
         bad += not ok
-        print(f"  grad {name}: relL2 fused {rel_f:.2e} "
-              f"(xla-default {rel_d:.2e}) {'ok' if ok else 'FAIL'}",
+        print(f"  grad {name}: relL2 fused {rel_f:.2e} cached-e32 "
+              f"{rel_c:.2e} (xla-default {rel_d:.2e}) "
+              f"{'ok' if ok else 'FAIL'}",
               flush=True)
     if bad:
         print(f"FAIL: {bad} kernel grad mismatches")
@@ -139,7 +156,8 @@ def main():
         return jnp.sum(out ** 2), (out, vars_["batch_stats"])
 
     outs = {}
-    for name, mod in (("xla", ref_mod), ("fused", build(True))):
+    for name, mod in (("xla", ref_mod), ("fused", build(True)),
+                      ("cached-e32", build("e32"))):
         f = jax.jit(jax.value_and_grad(
             functools.partial(loss_mod, mod), has_aux=True))
         (loss, (out, bs)), grads = f(params, x)
@@ -148,32 +166,35 @@ def main():
         print(f"module {name}: loss={float(loss):.5f}", flush=True)
 
     ox, bx, gx = outs["xla"]
-    of2, bf2, gf2 = outs["fused"]
-    # Same neighbor indices (shared ball_query at default precision); the
-    # paths differ in matmul association + XLA's one-bf16-pass default
-    # precision, so rel-to-peak ~1e-2 is the expected noise floor here.
-    print(f"module fwd rel-to-peak {_rel_to_peak(of2, ox):.2e}", flush=True)
-    assert _rel_to_peak(of2, ox) < 5e-2
-    for (kx_, vx), (_, vf) in zip(
-        jax.tree_util.tree_leaves_with_path(bx),
-        jax.tree_util.tree_leaves_with_path(bf2),
-    ):
-        assert _rel_to_peak(vf, vx) < 5e-2, str(kx_)
     leaves_x = jax.tree_util.tree_leaves_with_path(gx)
-    leaves_f = jax.tree_util.tree_leaves_with_path(gf2)
     # Near-zero leaves (dense_0_bias: BN shift-invariance cancels its grad)
     # make per-leaf relL2 meaningless; floor the denominator at 1% of the
     # largest leaf norm.
     gscale = max(float(np.linalg.norm(vx)) for _, vx in leaves_x)
-    for (kx_, vx), (_, vf) in zip(leaves_x, leaves_f):
-        # Same chaotic-gradient caveat as Part 1: gate on bulk (L2)
-        # agreement + non-zero, not elementwise equality.
-        rel = float(np.linalg.norm(vf - vx)) / max(
-            float(np.linalg.norm(vx)), 1e-2 * gscale)
-        zero = vf.any() != vx.any()
-        print(f"  module grad {jax.tree_util.keystr(kx_)}: "
-              f"relL2 {rel:.2e}", flush=True)
-        assert rel < 0.5 and not zero, str(kx_)
+    for vname in ("fused", "cached-e32"):
+        of2, bf2, gf2 = outs[vname]
+        # Same neighbor indices (shared ball_query at default precision);
+        # the paths differ in matmul association + XLA's one-bf16-pass
+        # default precision, so rel-to-peak ~1e-2 is the expected noise
+        # floor here.
+        print(f"module {vname} fwd rel-to-peak {_rel_to_peak(of2, ox):.2e}",
+              flush=True)
+        assert _rel_to_peak(of2, ox) < 5e-2
+        for (kx_, vx), (_, vf) in zip(
+            jax.tree_util.tree_leaves_with_path(bx),
+            jax.tree_util.tree_leaves_with_path(bf2),
+        ):
+            assert _rel_to_peak(vf, vx) < 5e-2, str(kx_)
+        leaves_f = jax.tree_util.tree_leaves_with_path(gf2)
+        for (kx_, vx), (_, vf) in zip(leaves_x, leaves_f):
+            # Same chaotic-gradient caveat as Part 1: gate on bulk (L2)
+            # agreement + non-zero, not elementwise equality.
+            rel = float(np.linalg.norm(vf - vx)) / max(
+                float(np.linalg.norm(vx)), 1e-2 * gscale)
+            zero = vf.any() != vx.any()
+            print(f"  module {vname} grad {jax.tree_util.keystr(kx_)}: "
+                  f"relL2 {rel:.2e}", flush=True)
+            assert rel < 0.5 and not zero, str(kx_)
 
     print("OK: on-chip fused train SA matches reference "
           "(kernel exact-input check + wired module check)")

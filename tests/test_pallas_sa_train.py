@@ -281,6 +281,18 @@ def test_fused_train_list_parsing(monkeypatch):
     assert pointnet2._fused_train_list(3) == [False, False, True]
     monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "auto")
     assert pointnet2._fused_train_list(3) == [False, False, True]
+    # Stage-winner override: rebinds what "auto"/unset resolve to; an
+    # explicit env value still wins; arity mismatch raises.
+    with pointnet2.fused_train_auto(("e32", "e32", "1")):
+        assert pointnet2._fused_train_list(3) == ["e32", "e32", True]
+        monkeypatch.delenv("TEXT2LOC_FUSED_SA_TRAIN", raising=False)
+        assert pointnet2._fused_train_list(3) == ["e32", "e32", True]
+        monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "0,0,1")
+        assert pointnet2._fused_train_list(3) == [False, False, True]
+        monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "auto")
+        with pytest.raises(ValueError):
+            pointnet2._fused_train_list(2)
+    assert pointnet2._fused_train_list(3) == [False, False, True]
     monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "1")
     assert pointnet2._fused_train_list(3) == [True, True, True]
     monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "0")

@@ -106,6 +106,26 @@ import functools
 
 _FUSED_TRAIN_SUPPRESSED = [False]
 _FUSED_TRAIN_MESH = [None]
+_FUSED_TRAIN_AUTO = [None]
+
+
+@contextlib.contextmanager
+def fused_train_auto(tokens):
+    """Override what TEXT2LOC_FUSED_SA_TRAIN "auto" resolves to within this
+    context (a per-level token tuple, e.g. ("e32", "e32", "1")).
+
+    The coarse and fine stages have DIFFERENT measured per-level winners
+    (the fine stage's 4x smaller cloud batch moves the cached-e/recompute
+    crossover — BENCHMARKS.md log #11), so each train-step factory wraps
+    its model.apply in its stage's winner. Executes at trace time only; an
+    explicit env value (anything but unset/"auto") still wins, as do the
+    DP suppression and backend gates."""
+    prev = _FUSED_TRAIN_AUTO[0]
+    _FUSED_TRAIN_AUTO[0] = tokens
+    try:
+        yield
+    finally:
+        _FUSED_TRAIN_AUTO[0] = prev
 
 
 @contextlib.contextmanager
@@ -198,6 +218,14 @@ def _fused_train_list(n_levels: int):
         )
 
     if v is None or v == "auto":
+        if _FUSED_TRAIN_AUTO[0] is not None:
+            auto = _FUSED_TRAIN_AUTO[0]
+            if len(auto) != n_levels:
+                raise ValueError(
+                    f"fused_train_auto{tuple(auto)}: expected {n_levels} "
+                    f"per-level tokens"
+                )
+            return [tok(m) for m in auto]
         return [False] * (n_levels - 1) + [True]
     if "," not in v:
         return [tok(v)] * n_levels

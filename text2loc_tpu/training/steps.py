@@ -22,6 +22,7 @@ import optax
 from text2loc_tpu.config import Config
 from text2loc_tpu.data import augment
 from text2loc_tpu.data.batch import FineBatch, ObjectSet, TextSet
+from text2loc_tpu.models import pointnet2
 from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
 from text2loc_tpu.models.cross_matcher import CrossMatch
 from text2loc_tpu.models.text_embedding import HintTextEmbedder
@@ -123,11 +124,34 @@ def prepare_negative_objects(batch, cfg: Config, rng) -> ObjectSet:
     )
 
 
+# What TEXT2LOC_FUSED_SA_TRAIN "auto" resolves to per stage: the measured
+# per-level winners of the cached-e/recompute/XLA sweep (BENCHMARKS.md log
+# #11; tokens per SA level, "0"=XLA, "1"=recompute kernel, "e32"=f32
+# cached-edge kernel). The stages differ because the fine stage's 4x
+# smaller cloud batch moves the crossover. f32 bodies only: the cache
+# dtype must match the compute dtype (mismatches pay per-pass converts on
+# the [T, H] tiles — bf16-body e32,e32,1 measured 106.5 ms vs its 91.1
+# baseline), and the bf16-body sweep produced no winner clear of the
+# run-to-run noise, so bf16 bodies keep the plain last-level default.
+# Applied only when the ladder depth matches the measured 3-level config.
+COARSE_FUSED_TRAIN_AUTO = ("e32", "e32", "1")
+FINE_FUSED_TRAIN_AUTO = ("0", "e32", "e32")
+
+
+def _stage_auto(cfg: Config, tokens):
+    n = len(cfg.model.pointnet.sa_mlps)
+    body = cfg.model.body_dtype or cfg.model.train_dtype
+    if len(tokens) != n or body != "float32":
+        return None
+    return tokens
+
+
 def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedder,
                            cfg: Config, optimizer) -> Callable:
     is_triplet = cfg.train.loss.ranking_loss == "triplet"
     margin = cfg.train.loss.margin
     loss_fn_sel = None if is_triplet else losses.make_retrieval_loss(cfg.train.loss)
+    auto = _stage_auto(cfg, COARSE_FUSED_TRAIN_AUTO)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -164,7 +188,10 @@ def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedd
             loss = loss_fn_sel(text_emb, cell_emb)
             return loss, updates["batch_stats"]
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        with pointnet2.fused_train_auto(auto):
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
@@ -221,6 +248,7 @@ def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
 def make_fine_train_step(model: CrossMatch, embedder: HintTextEmbedder,
                          cfg: Config, optimizer) -> Callable:
     offset_lambda = cfg.train.offset_lambda
+    auto = _stage_auto(cfg, FINE_FUSED_TRAIN_AUTO)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -238,9 +266,10 @@ def make_fine_train_step(model: CrossMatch, embedder: HintTextEmbedder,
             err = losses.pose_error(pred, fb.pose_in_cell)
             return offset_lambda * mse, (updates["batch_stats"], err)
 
-        (loss, (new_stats, err)), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            state.params
-        )
+        with pointnet2.fused_train_auto(auto):
+            (loss, (new_stats, err)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
