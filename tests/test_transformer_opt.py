@@ -109,6 +109,78 @@ def test_fused_ffn_addlayernorm_matches_reference():
         )
 
 
+@pytest.mark.parametrize("b,lq,lk,d,h", [(37, 16, 16, 128, 4),
+                                         (40, 16, 6, 128, 4),
+                                         (9, 6, 16, 128, 4),
+                                         (3, 6, 6, 128, 4),
+                                         (5, 28, 28, 256, 4)])
+def test_fused_mha_addlayernorm_matches_reference(b, lq, lk, d, h):
+    from text2loc_tpu.ops.pallas_mha import (
+        fused_mha_addlayernorm,
+        mha_addlayernorm_ref,
+    )
+
+    rng = np.random.default_rng(6)
+    dh = d // h
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((b, lq, d)), dt)
+        kv = jnp.asarray(rng.standard_normal((b, lk, d)), dt)
+        wq, wk, wv = (jnp.asarray(rng.standard_normal((d, h, dh)) * 0.1,
+                                  jnp.float32) for _ in range(3))
+        bq, bk, bv = (jnp.asarray(rng.standard_normal((h, dh)) * 0.1,
+                                  jnp.float32) for _ in range(3))
+        wo = jnp.asarray(rng.standard_normal((h, dh, d)) * 0.1, jnp.float32)
+        bo = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+        be = jnp.asarray(rng.standard_normal(d), jnp.float32)
+        key_valid = rng.random((b, lk)) > 0.2
+        key_valid[:, 0] = True                  # never a fully-masked row
+        for mask in (None, jnp.asarray(key_valid)):
+            ref = mha_addlayernorm_ref(x, kv, wq, bq, wk, bk, wv, bv, wo,
+                                       bo, g, be, key_mask=mask, num_heads=h)
+            got = fused_mha_addlayernorm(x, kv, wq, bq, wk, bk, wv, bv, wo,
+                                         bo, g, be, key_mask=mask,
+                                         num_heads=h, interpret=True)
+            assert got.shape == (b, lq, d) and got.dtype == dt
+            # bf16 LN outputs can differ by a couple of ulps from matmul
+            # accumulation order; atol dominates near zero.
+            tol = 3e-2 if dt == jnp.bfloat16 else 1e-4
+            atol = 6e-2 if dt == jnp.bfloat16 else 1e-4
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=tol, atol=atol,
+            )
+
+
+def test_decoder_layer_fused_attn_equals_stock(monkeypatch):
+    """Whole decoder layer at eval: interpret-mode fused attention block ==
+    stock ops (both attention blocks, masked)."""
+    import text2loc_tpu.models.transformer as tr
+    from text2loc_tpu.ops import pallas_mha
+
+    rng = np.random.default_rng(7)
+    b, lt, lm, d = 9, 16, 6, 128
+    layer = TorchDecoderLayer(d_model=d, num_heads=4, dim_feedforward=4 * d)
+    tgt = jnp.asarray(rng.standard_normal((b, lt, d)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((b, lm, d)), jnp.float32)
+    tmask = jnp.asarray(rng.random((b, lt)) > 0.2).at[:, 0].set(True)
+    mmask = jnp.asarray(rng.random((b, lm)) > 0.2).at[:, 0].set(True)
+    variables = layer.init(jax.random.PRNGKey(0), tgt, mem)
+
+    base = np.asarray(layer.apply(variables, tgt, mem, tgt_mask=tmask,
+                                  memory_mask=mmask))
+
+    monkeypatch.setattr(tr, "_fused_attn_enabled", lambda d: True)
+    orig = pallas_mha.fused_mha_addlayernorm
+    monkeypatch.setattr(
+        pallas_mha, "fused_mha_addlayernorm",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    fused = np.asarray(layer.apply(variables, tgt, mem, tgt_mask=tmask,
+                                   memory_mask=mmask))
+    np.testing.assert_allclose(fused, base, rtol=2e-4, atol=2e-4)
+
+
 def test_decoder_layer_fused_ffn_equals_stock(monkeypatch):
     """Whole decoder layer at eval: interpret-mode fused FFN == stock ops.
     (On CPU the fused path is normally gated off; force it through the
@@ -188,6 +260,34 @@ def test_fused_kernels_inside_shard_map():
     got2 = np.asarray(jax.jit(fn2)(x, r, g, be))
     ref2 = np.asarray(add_layernorm_reference(x, r, g, be))
     np.testing.assert_allclose(got2, ref2, rtol=2e-5, atol=2e-5)
+
+    from text2loc_tpu.ops.pallas_mha import (
+        fused_mha_addlayernorm,
+        mha_addlayernorm_ref,
+    )
+
+    h, dh = 4, d // 4
+    xa = jnp.asarray(rng.standard_normal((16, 16, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((16, 6, d)), jnp.float32)
+    wq, wk, wv = (jnp.asarray(rng.standard_normal((d, h, dh)) * 0.1,
+                              jnp.float32) for _ in range(3))
+    bq, bk, bv = (jnp.asarray(rng.standard_normal((h, dh)) * 0.1,
+                              jnp.float32) for _ in range(3))
+    wo = jnp.asarray(rng.standard_normal((h, dh, d)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    fn3 = shard_map(
+        lambda xx, mm, *w: fused_mha_addlayernorm(
+            xx, mm, *w, num_heads=h, interpret=True),
+        mesh=mesh,
+        in_specs=(P(ax), P(ax)) + (P(),) * 10,
+        out_specs=P(ax),
+        check_vma=False,
+    )
+    got3 = np.asarray(jax.jit(fn3)(xa, kv, wq, bq, wk, bk, wv, bv, wo, bo,
+                                   g, be))
+    ref3 = np.asarray(mha_addlayernorm_ref(xa, kv, wq, bq, wk, bk, wv, bv,
+                                           wo, bo, g, be, num_heads=h))
+    np.testing.assert_allclose(got3, ref3, rtol=1e-4, atol=1e-4)
 
 
 def test_param_tree_unchanged():

@@ -34,6 +34,15 @@ scripts/probe_cct_parts.py, BENCHMARKS.md):
   ONE Pallas kernel per row tile (ops/pallas_ffn.py) — the 4x-wide
   intermediate never reaches HBM. Interleaved A/B: cct 5.50/5.65 ->
   5.40/5.41 ms. Env: TEXT2LOC_FUSED_FFN=0 disables, =all forces every dim.
+* FUSED ATTENTION BLOCK (on by default for d_model <= 256): the whole
+  post-LN attention block (QKV projections -> per-sample attention ->
+  out-projection -> residual -> LN) as ONE Pallas kernel
+  (ops/pallas_mha.py) — the sample fold that lost at the XLA level wins
+  in VMEM, where its block-diagonal mask is an iota compare instead of an
+  HBM-materialized boolean tensor, and the latency-bound [B, H, Lq, Lk]
+  batched matmuls become full-width MXU tiles. Env: TEXT2LOC_FUSED_ATTN=0
+  disables, =all forces every dim; TEXT2LOC_FUSED_ATTN_ROWS tunes the
+  sample-fold tile (default 256 rows).
 
 Parameter trees are IDENTICAL to the previous stock-flax modules
 (nn.MultiHeadDotProductAttention / nn.LayerNorm layouts), so converted torch
@@ -42,7 +51,6 @@ checkpoints and trained states load unchanged.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 
@@ -75,6 +83,16 @@ def _fused_ln_enabled(d: int) -> bool:
 
 def _fused_ffn_enabled(d: int) -> bool:
     v = os.environ.get("TEXT2LOC_FUSED_FFN", "1")
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and v != "0"
+        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
+        and (d <= 256 or v == "all")
+    )
+
+
+def _fused_attn_enabled(d: int) -> bool:
+    v = os.environ.get("TEXT2LOC_FUSED_ATTN", "1")
     return (
         jax.default_backend() not in ("cpu", "gpu")
         and v != "0"
@@ -176,46 +194,108 @@ def grouped_dot_product_attention(query, key, value, mask=None,
     return out[:b] if pad else out
 
 
-class TorchMultiHeadAttention(nn.Module):
-    """nn.MultiHeadDotProductAttention twin with the grouped serving path.
+class _DenseGeneralParams(nn.Module):
+    """Parameter-only twin of nn.DenseGeneral ({kernel, bias}, same shapes
+    and the same flattened-fan lecun_normal init nn.DenseGeneral wraps)."""
 
-    Parameter tree is identical to flax MHDPA (DenseGeneral query/key/value/
-    out), so checkpoints are interchangeable. Deterministic calls use
-    `grouped_dot_product_attention`; training keeps flax's stock attention
-    (which carries the weight dropout).
-    """
-
-    num_heads: int
-    qkv_features: int
-    out_features: int
-    dropout_rate: float = 0.0
-    dtype: jnp.dtype = jnp.float32
+    in_shape: tuple
+    out_shape: tuple
 
     @nn.compact
-    def __call__(self, q_in, kv_in, mask=None, deterministic: bool = True):
+    def __call__(self):
+        n_in = int(np.prod(self.in_shape))
+        n_out = int(np.prod(self.out_shape))
+
+        def kernel_init(rng, shape, dtype=jnp.float32):
+            flat = nn.initializers.lecun_normal()(rng, (n_in, n_out), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param("kernel", kernel_init,
+                            self.in_shape + self.out_shape)
+        bias = self.param("bias", nn.initializers.zeros, self.out_shape,
+                          jnp.float32)
+        return kernel, bias
+
+
+class _MHAParams(nn.Module):
+    """Parameter container with nn.MultiHeadDotProductAttention's tree
+    (DenseGeneral query/key/value/out), so converted torch checkpoints and
+    previously trained states load unchanged."""
+
+    num_heads: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, d_q: int, d_kv: int):
         h = self.num_heads
-        dh = self.qkv_features // h
-        dense = functools.partial(
-            nn.DenseGeneral, features=(h, dh), dtype=self.dtype
+        dh = self.d_model // h
+        wq, bq = _DenseGeneralParams((d_q,), (h, dh), name="query")()
+        wk, bk = _DenseGeneralParams((d_kv,), (h, dh), name="key")()
+        wv, bv = _DenseGeneralParams((d_kv,), (h, dh), name="value")()
+        wo, bo = _DenseGeneralParams((h, dh), (self.d_model,), name="out")()
+        return wq, bq, wk, bk, wv, bv, wo, bo
+
+
+def _stock_attention(q_in, kv_in, p, mask, dropout_rng, dropout_rate: float,
+                     deterministic: bool, dtype, num_heads: int):
+    """The previous module path, functional: DenseGeneral projections in
+    `dtype` + flax dot_product_attention (or the grouped fold)."""
+    wq, bq, wk, bk, wv, bv, wo, bo = p
+    dt = jnp.dtype(dtype)
+    q = jnp.einsum("...d,dhk->...hk", q_in.astype(dt), wq.astype(dt))
+    q = q + bq.astype(dt)
+    k = jnp.einsum("...d,dhk->...hk", kv_in.astype(dt), wk.astype(dt))
+    k = k + bk.astype(dt)
+    v = jnp.einsum("...d,dhk->...hk", kv_in.astype(dt), wv.astype(dt))
+    v = v + bv.astype(dt)
+    if deterministic and _grouped_enabled():
+        x = grouped_dot_product_attention(q, k, v, mask=mask)
+    else:
+        x = nn.dot_product_attention(
+            q, k, v, mask=mask,
+            dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+            deterministic=deterministic, dtype=dt,
         )
-        q = dense(name="query")(q_in)
-        k = dense(name="key")(kv_in)
-        v = dense(name="value")(kv_in)
-        if deterministic and _grouped_enabled():
-            x = grouped_dot_product_attention(q, k, v, mask=mask)
-        else:
-            dropout_rng = None
-            if not deterministic and self.dropout_rate > 0.0:
-                dropout_rng = self.make_rng("dropout")
-            x = nn.dot_product_attention(
-                q, k, v, mask=mask,
-                dropout_rng=dropout_rng, dropout_rate=self.dropout_rate,
-                deterministic=deterministic, dtype=self.dtype,
-            )
-        return nn.DenseGeneral(
-            features=self.out_features, axis=(-2, -1), dtype=self.dtype,
-            name="out",
-        )(x)
+    return jnp.einsum("...hk,hkd->...d", x.astype(dt), wo.astype(dt)) \
+        + bo.astype(dt)
+
+
+def _attention_block(mod, x, kv, key_mask, *, d_model: int, num_heads: int,
+                     attn_name: str, norm_name: str, dropout_rate: float,
+                     dtype, train: bool):
+    """Post-LN attention block: LayerNorm(x + Dropout(MHA(x, kv))).
+
+    Declared params keep the stock layout ({attn_name}/{query,key,value,out}
+    + {norm_name}/{scale,bias}). Deterministic TPU calls at d_model <= 256
+    run the single fused Pallas kernel (ops/pallas_mha.py: projections +
+    sample-folded attention + out-projection + residual LayerNorm in one
+    VMEM pass — the latency-bound [B, H, Lq, Lk] batched matmuls and five
+    HBM round trips disappear); training/CPU keep stock composable ops with
+    the dropouts in their torch positions."""
+    p = _MHAParams(num_heads=num_heads, d_model=d_model, name=attn_name)(
+        x.shape[-1], kv.shape[-1]
+    )
+    scale, bias = _LNParams(name=norm_name)(d_model)
+    deterministic = not train
+    if (deterministic and d_model % 128 == 0
+            and _fused_attn_enabled(d_model)):
+        from text2loc_tpu.ops.pallas_mha import fused_mha_addlayernorm
+
+        rows = int(os.environ.get("TEXT2LOC_FUSED_ATTN_ROWS", "256"))
+        return fused_mha_addlayernorm(
+            x, kv, *p, scale, bias, key_mask=key_mask,
+            num_heads=num_heads, group_rows=rows,
+        )
+    dropout_rng = None
+    if not deterministic and dropout_rate > 0.0:
+        dropout_rng = mod.make_rng("dropout")
+    attn = _stock_attention(
+        x, kv, p, _attn_mask(x.shape[1], key_mask), dropout_rng,
+        dropout_rate, deterministic, dtype, num_heads,
+    )
+    attn = nn.Dropout(dropout_rate, deterministic=deterministic)(attn)
+    return apply_add_layernorm(x, attn, scale, bias, 1e-5, jnp.dtype(dtype),
+                               train)
 
 
 class _LNParams(nn.Module):
@@ -245,21 +325,6 @@ def apply_add_layernorm(x, res, scale, bias, eps: float, out_dtype,
     return y.astype(out_dtype)
 
 
-class AddLayerNorm(nn.Module):
-    """LayerNorm(x + res) with nn.LayerNorm's parameter layout."""
-
-    epsilon: float = 1e-5
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, res, train: bool = False):
-        d = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
-        return apply_add_layernorm(x, res, scale, bias, self.epsilon,
-                                   self.dtype, train)
-
-
 class TorchEncoderLayer(nn.Module):
     """Post-LN self-attention encoder layer (torch defaults)."""
 
@@ -271,18 +336,11 @@ class TorchEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
-        deterministic = not train
-        attn = TorchMultiHeadAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            dropout_rate=self.dropout_rate,
-            dtype=self.dtype,
-            name="self_attn",
-        )(x, x, mask=_attn_mask(x.shape[1], mask), deterministic=deterministic)
-        attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
-        x = AddLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
-            x, attn, train=train
+        x = _attention_block(
+            self, x, x, mask, d_model=self.d_model,
+            num_heads=self.num_heads, attn_name="self_attn",
+            norm_name="norm1", dropout_rate=self.dropout_rate,
+            dtype=self.dtype, train=train,
         )
         return _feed_forward(
             x, self.d_model, self.dim_feedforward, "norm2",
@@ -306,33 +364,17 @@ class TorchDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None, train: bool = False):
-        deterministic = not train
-        sa = TorchMultiHeadAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            dropout_rate=self.dropout_rate,
-            dtype=self.dtype,
-            name="self_attn",
-        )(tgt, tgt, mask=_attn_mask(tgt.shape[1], tgt_mask),
-          deterministic=deterministic)
-        sa = nn.Dropout(self.dropout_rate, deterministic=deterministic)(sa)
-        tgt = AddLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
-            tgt, sa, train=train
+        tgt = _attention_block(
+            self, tgt, tgt, tgt_mask, d_model=self.d_model,
+            num_heads=self.num_heads, attn_name="self_attn",
+            norm_name="norm1", dropout_rate=self.dropout_rate,
+            dtype=self.dtype, train=train,
         )
-
-        ca = TorchMultiHeadAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            dropout_rate=self.dropout_rate,
-            dtype=self.dtype,
-            name="cross_attn",
-        )(tgt, memory, mask=_attn_mask(tgt.shape[1], memory_mask),
-          deterministic=deterministic)
-        ca = nn.Dropout(self.dropout_rate, deterministic=deterministic)(ca)
-        tgt = AddLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
-            tgt, ca, train=train
+        tgt = _attention_block(
+            self, tgt, memory, memory_mask, d_model=self.d_model,
+            num_heads=self.num_heads, attn_name="cross_attn",
+            norm_name="norm2", dropout_rate=self.dropout_rate,
+            dtype=self.dtype, train=train,
         )
         return _feed_forward(
             tgt, self.d_model, self.dim_feedforward, "norm3",
