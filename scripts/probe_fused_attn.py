@@ -118,14 +118,24 @@ def main():
     for rows in (128, 256, 512):
         variants.append((f"rows={rows}", {"TEXT2LOC_FUSED_ATTN": "1",
                                           "TEXT2LOC_FUSED_ATTN_ROWS": str(rows)}))
+    # "all" additionally fuses the E=1024 intra stack inside encode_text —
+    # only the full-trunk serve number can move (the cct is fused at 256
+    # rows in both).
+    for rows in (256, 512):
+        variants.append((f"all-{rows}", {"TEXT2LOC_FUSED_ATTN": "all",
+                                         "TEXT2LOC_FUSED_ATTN_ROWS": str(rows)}))
+
+    def leaf0(x):
+        return np.asarray(jax.tree_util.tree_leaves(x)[0], np.float32)
 
     fns = {}
     outs = {}
+    outs_serve = {}
     for name, env in variants:
         os.environ.update(env)
         fns[name] = build_fns()
         outs[name] = np.asarray(fns[name][0](*cct_args), np.float32)
-        drain(fns[name][1](*serve_args))     # compile + warm
+        outs_serve[name] = leaf0(fns[name][1](*serve_args))  # compile + warm
 
     # Accuracy gate is COMPARATIVE (the probe_sa_train standard): the fused
     # kernel runs its softmax in f32 where stock flax attention at dtype=bf16
@@ -134,6 +144,10 @@ def main():
     # sit no farther from it than the stock bf16 path does (3x slack).
     import dataclasses
 
+    # The oracle must be STOCK f32: build it with the fused path disabled
+    # (the variant loop leaves its last env setting behind, and a fused-f32
+    # trunk at E=1024 exceeds the 16 MB scoped-VMEM limit anyway).
+    os.environ["TEXT2LOC_FUSED_ATTN"] = "0"
     cfg32 = cfg.replace(model=dataclasses.replace(m, dtype="float32"))
     fwd32 = steps_lib.make_fine_split_forwards(
         CrossMatch(cfg32.model), embedder, cfg32
@@ -151,6 +165,28 @@ def main():
         print(f"cct rel-to-peak vs f32 oracle: fused {name}: {dev:.2e}",
               flush=True)
         assert dev < max(3.0 * dev_stock, 1e-3), (name, dev, dev_stock)
+
+    # Whole-serve gate (covers the E=1024 intra stack under "all"): same
+    # comparative standard against an f32 full-trunk oracle.
+    @jax.jit
+    def serve32(params, batch_stats, text_all, emb_all, mask_all, pid_all):
+        hints_all = fwd32.encode_text(params, batch_stats, text_all)
+        return fwd32.cct(
+            params, batch_stats, jnp.asarray(emb_all, jnp.float32), mask_all,
+            jnp.take(hints_all, pid_all, axis=0),
+            jnp.take(sent_all, pid_all, axis=0),
+        )
+
+    soracle = leaf0(serve32(*serve_args))
+    sscale = np.abs(soracle).max()
+    sdev_stock = np.abs(outs_serve["off"] - soracle).max() / sscale
+    print(f"serve rel-to-peak vs f32 oracle: stock-bf16 {sdev_stock:.2e}",
+          flush=True)
+    for name, _ in variants[1:]:
+        sdev = np.abs(outs_serve[name] - soracle).max() / sscale
+        print(f"serve rel-to-peak vs f32 oracle: fused {name}: {sdev:.2e}",
+              flush=True)
+        assert sdev < max(3.0 * sdev_stock, 1e-3), (name, sdev, sdev_stock)
 
     # Interleaved min-of-groups timing.
     results = {name: [1e9, 1e9] for name, _ in variants}

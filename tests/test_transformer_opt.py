@@ -113,7 +113,8 @@ def test_fused_ffn_addlayernorm_matches_reference():
                                          (40, 16, 6, 128, 4),
                                          (9, 6, 16, 128, 4),
                                          (3, 6, 6, 128, 4),
-                                         (5, 28, 28, 256, 4)])
+                                         (5, 28, 28, 256, 4),
+                                         (3, 16, 16, 1024, 4)])
 def test_fused_mha_addlayernorm_matches_reference(b, lq, lk, d, h):
     from text2loc_tpu.ops.pallas_mha import (
         fused_mha_addlayernorm,
@@ -142,14 +143,26 @@ def test_fused_mha_addlayernorm_matches_reference(b, lq, lk, d, h):
                                          bo, g, be, key_mask=mask,
                                          num_heads=h, interpret=True)
             assert got.shape == (b, lq, d) and got.dtype == dt
-            # bf16 LN outputs can differ by a couple of ulps from matmul
-            # accumulation order; atol dominates near zero.
-            tol = 3e-2 if dt == jnp.bfloat16 else 1e-4
-            atol = 6e-2 if dt == jnp.bfloat16 else 1e-4
-            np.testing.assert_allclose(
-                np.asarray(got, np.float32), np.asarray(ref, np.float32),
-                rtol=tol, atol=atol,
-            )
+            if dt == jnp.float32:
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4,
+                )
+            else:
+                # bf16 deviation from the stock twin grows with the
+                # contraction depth (lane-masked full-width dots round in a
+                # different order), so gate COMPARATIVELY against an f32
+                # oracle: fused-bf16 must sit no farther from it than
+                # stock-bf16 does (3x slack) — the on-chip probe's standard.
+                oracle = np.asarray(mha_addlayernorm_ref(
+                    jnp.asarray(x, jnp.float32), jnp.asarray(kv, jnp.float32),
+                    wq, bq, wk, bk, wv, bv, wo, bo, g, be,
+                    key_mask=mask, num_heads=h,
+                ))
+                dev_stock = np.abs(np.asarray(ref, np.float32) - oracle).max()
+                dev_fused = np.abs(np.asarray(got, np.float32) - oracle).max()
+                assert dev_fused < max(3.0 * dev_stock, 1e-3), (
+                    dt, dev_fused, dev_stock,
+                )
 
 
 def test_decoder_layer_fused_attn_equals_stock(monkeypatch):

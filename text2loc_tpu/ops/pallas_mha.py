@@ -70,20 +70,39 @@ def _mha_block_kernel(x_ref, m_ref, kb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
     cdt = x.dtype
     kc = k.astype(cdt)
+    # dh a lane multiple: per-head slices are layout-clean, so contract only
+    # the head's own lanes. Below 128 lanes the slice would relayout, so use
+    # the LANE-MASK trick instead (zero the lanes outside head h; the full
+    # dp-deep dot then equals the per-head dot — a num_heads x FLOP waste
+    # that is irrelevant at dh=32 but dominant at d_model >= 512).
+    lane_aligned = dh % 128 == 0
+    parts = []
     acc = jnp.zeros((glq, dp), jnp.float32)
     for h in range(num_heads):                       # unrolled: H is tiny
-        qh = jnp.where(head_q == h, q, 0.0).astype(cdt)
+        if lane_aligned:
+            qh = q[:, h * dh:(h + 1) * dh].astype(cdt)
+            kh = kc[:, h * dh:(h + 1) * dh]
+        else:
+            qh = jnp.where(head_q == h, q, 0.0).astype(cdt)
+            kh = kc
         s = jax.lax.dot_general(
-            qh, kc, (((1,), (1,)), ((), ())),
+            qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # [G*Lq, G*Lk]
         s = jnp.where(block, s + kb, -1e9)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        vh = jnp.where(head_q == h, v, 0.0).astype(cdt)
-        acc = acc + jnp.dot(p.astype(cdt), vh,
-                            preferred_element_type=jnp.float32)
+        if lane_aligned:
+            vh = v[:, h * dh:(h + 1) * dh].astype(cdt)
+            parts.append(jnp.dot(p.astype(cdt), vh,
+                                 preferred_element_type=jnp.float32))
+        else:
+            vh = jnp.where(head_q == h, v, 0.0).astype(cdt)
+            acc = acc + jnp.dot(p.astype(cdt), vh,
+                                preferred_element_type=jnp.float32)
+    if lane_aligned:
+        acc = jnp.concatenate(parts, axis=1)
 
     out = jnp.dot(acc.astype(cdt), wo_ref[...],
                   preferred_element_type=jnp.float32)
