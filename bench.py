@@ -195,19 +195,12 @@ def main():
     # CLOSED hint vocabulary, so it collapses to a [V, D] table and the
     # per-query text cost becomes a gather (models/language_encoder.py).
     from text2loc_tpu import constants as Const
-    from text2loc_tpu.data.batch import TextSet
+    from text2loc_tpu.evaluation.retrieval import build_vocab_sentence_table
 
     _log("precomputing sentence table (offline stage)")
-    vocab = TextSet(
-        embedder.table[:, None], embedder.token_mask[:, None],
-        jnp.ones((embedder.table.shape[0], 1), bool),
-    )
-    fine_sent_table = jax.jit(
-        lambda p, s, t: model.apply(
-            {"params": p, "batch_stats": s}, t, train=False,
-            method=model.encode_hints,
-        )
-    )(params, batch_stats, vocab)[:, 0]                    # [V, D]
+    fine_sent_table = build_vocab_sentence_table(
+        model, embedder, params, batch_stats, model.encode_hints,
+    )                                                      # [V, D]
     hint_ids_all = jax.device_put(jnp.asarray(Const.hint_id(
         data.hint_dir[:NUM_POSES], data.hint_color[:NUM_POSES],
         data.hint_label[:NUM_POSES],

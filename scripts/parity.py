@@ -315,3 +315,6 @@ if __name__ == "__main__":
     r = main()
     if isinstance(r, int):
         sys.exit(r)
+    # CI-gateable status: FAIL (pass=False) exits nonzero; fixture mode
+    # (pass=None, plumbing-only verdicts) and PASS exit 0.
+    sys.exit(1 if r.get("pass") is False else 0)

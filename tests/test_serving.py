@@ -200,6 +200,51 @@ def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
     np.testing.assert_allclose(a.candidates_w, c.candidates_w, atol=1e-6)
 
 
+def test_localizer_gallery_cache_roundtrip_bf16(small_cfg, small_embedder,
+                                                small_data, tmp_path,
+                                                monkeypatch):
+    """bfloat16 serving dtype (the DEFAULT ModelConfig.dtype) must survive
+    the npz cache: ml_dtypes bf16 serializes as raw void ('|V2') that
+    np.load cannot hand back to jnp, so _npz_pack stores float32 + a dtype
+    sidecar and _npz_unpack casts back on load."""
+    import dataclasses
+    import os
+
+    import text2loc_tpu.serving as serving_mod
+
+    cfg = small_cfg.replace(
+        model=dataclasses.replace(small_cfg.model, dtype="bfloat16")
+    )
+    data, embedder = small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    path = str(tmp_path / "gallery_bf16.npz")
+    first = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                      cache_path=path)
+    assert os.path.exists(path)
+    # The saved file must contain no raw-void arrays (unreadable on load).
+    with np.load(path, allow_pickle=False) as f:
+        assert all(f[k].dtype.kind != "V" for k in f.files), (
+            {k: str(f[k].dtype) for k in f.files}
+        )
+
+    def boom(*a, **k):
+        raise AssertionError("cache miss: gallery re-encoded")
+
+    monkeypatch.setattr(serving_mod, "encode_gallery", boom)
+    monkeypatch.setattr(serving_mod.steps_lib, "encode_fine_gallery", boom)
+    monkeypatch.setattr(serving_mod.Localizer, "_build_sentence_tables", boom)
+    warm = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                     cache_path=path)
+
+    q = np.arange(4)
+    a = first.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    b = warm.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+    np.testing.assert_allclose(np.asarray(a.candidates_w, np.float32),
+                               np.asarray(b.candidates_w, np.float32),
+                               atol=1e-6)
+
+
 def test_localizer_sharded_stepwise_gallery(small_cfg, small_embedder,
                                             small_data):
     """The stepwise sharded path (no fine cache -> per-candidate recompute on

@@ -122,20 +122,14 @@ def run_fine(
             import jax.numpy as jnp
 
             from text2loc_tpu import constants as C
-            from text2loc_tpu.data.batch import TextSet
-
-            v = embedder.table.shape[0]
-            vocab = TextSet(
-                token_embeds=jnp.asarray(embedder.table)[:, None],
-                token_mask=jnp.asarray(embedder.token_mask)[:, None],
-                sentence_mask=jnp.ones((v, 1), bool),
+            from text2loc_tpu.evaluation.retrieval import (
+                build_vocab_sentence_table,
             )
-            ftbl = jax.jit(
-                lambda p, s, t: model.apply(
-                    {"params": p, "batch_stats": s}, t, train=False,
-                    method=model.encode_hints,
-                )
-            )(state.params, state.batch_stats, vocab)[:, 0]   # [V, D]
+
+            ftbl = build_vocab_sentence_table(
+                model, embedder, state.params, state.batch_stats,
+                model.encode_hints,
+            )                                                 # [V, D]
             ids = C.hint_id(data.hint_dir, data.hint_color, data.hint_label)
             hints = np.asarray(jnp.take(ftbl, jnp.asarray(ids), axis=0))
         else:

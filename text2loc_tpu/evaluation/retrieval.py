@@ -86,6 +86,33 @@ def encode_queries(
     return out
 
 
+def build_vocab_sentence_table(model, embedder: HintTextEmbedder, params,
+                               batch_stats, method):
+    """[V, D] per-sentence trunk outputs over the closed hint vocabulary.
+
+    The per-sentence text trunk is a pure function of one sentence's frozen
+    token embeddings at eval, so it collapses to a table built once per
+    weights. `method` selects the trunk: CellRetrievalNetwork
+    .encode_text_sentences (coarse) or CrossMatch.encode_hints (fine). The
+    ONE construction shared by serving (Localizer._build_sentence_tables),
+    the eval loop (make_sentence_table_text_encoder), run_fine's table
+    option, and bench.py."""
+    from text2loc_tpu.data.batch import TextSet
+
+    v = embedder.table.shape[0]
+    vocab = TextSet(
+        token_embeds=jnp.asarray(embedder.table)[:, None],   # [V, 1, T, E]
+        token_mask=jnp.asarray(embedder.token_mask)[:, None],
+        sentence_mask=jnp.ones((v, 1), bool),
+    )
+    out = jax.jit(
+        lambda p, s, t: model.apply(
+            {"params": p, "batch_stats": s}, t, train=False, method=method,
+        )
+    )(params, batch_stats, vocab)
+    return out[:, 0]                                         # [V, D]
+
+
 def make_sentence_table_text_encoder(model, embedder: HintTextEmbedder):
     """(build_table, encode) for the sentence-table query path.
 
@@ -100,23 +127,12 @@ def make_sentence_table_text_encoder(model, embedder: HintTextEmbedder):
     (tests/test_eval_sentence_table.py).
     """
     from text2loc_tpu import constants as C
-    from text2loc_tpu.data.batch import TextSet
 
-    table_ve = jnp.asarray(embedder.table)
-    token_mask = jnp.asarray(embedder.token_mask)
-
-    @jax.jit
     def build_table(params, batch_stats):
-        v = table_ve.shape[0]
-        vocab = TextSet(
-            token_embeds=table_ve[:, None],              # [V, 1, T, E]
-            token_mask=token_mask[:, None],
-            sentence_mask=jnp.ones((v, 1), bool),
+        return build_vocab_sentence_table(
+            model, embedder, params, batch_stats,
+            model.encode_text_sentences,
         )
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, vocab,
-            train=False, method=model.encode_text_sentences,
-        )[:, 0]                                          # [V, D]
 
     @jax.jit
     def encode(params, batch_stats, table, batch):

@@ -405,6 +405,14 @@ class SetAbstraction(nn.Module):
             self.fused_train if self.fused_train is not None
             else (_fused_train_default() and self.dtype == jnp.float32)
         )
+        if fused_train is True and self.fused_train is None:
+            # Standalone fallback must propagate the cached-edge TOKEN, not
+            # collapse it to a bool: env "e"/"e32" selects the cached-edge
+            # kernel here exactly as it does inside the ladder's per-level
+            # list (True alone would silently run the recompute variant).
+            env_tok = os.environ.get("TEXT2LOC_FUSED_SA_TRAIN", "")
+            if env_tok in ("e", "e32"):
+                fused_train = env_tok
         if train and fused_train and not self.is_initializing():
             # Hoisted first layer: concat(x_j, pos_j - c_i) @ W1 + b1
             # == (concat(x_j, pos_j) @ W1 + b1) - c_i @ W1[pos rows], so the

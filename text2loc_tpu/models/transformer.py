@@ -277,7 +277,10 @@ def _attention_block(mod, x, kv, key_mask, *, d_model: int, num_heads: int,
     )
     scale, bias = _LNParams(name=norm_name)(d_model)
     deterministic = not train
+    # The fused kernel assumes query/memory widths both equal d_model (the
+    # stock path supports d_kv != d_model); mismatched widths fall back.
     if (deterministic and d_model % 128 == 0
+            and x.shape[-1] == d_model == kv.shape[-1]
             and _fused_attn_enabled(d_model)):
         from text2loc_tpu.ops.pallas_mha import fused_mha_addlayernorm
 

@@ -33,6 +33,31 @@ from text2loc_tpu.training import steps as steps_lib
 from text2loc_tpu.training.steps import TrainState
 
 
+def _npz_pack(name: str, arr) -> dict:
+    """np.savez-safe encoding for one array: ml_dtypes dtypes (bfloat16 —
+    the default serving dtype — fp8, ...) serialize as raw void '|V2' which
+    np.load returns unreadably, so they are stored as lossless float32 plus
+    a `<name>__dtype` sidecar; `_npz_unpack` casts back."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "V":
+        return {name: a.astype(np.float32),
+                name + "__dtype": np.asarray(a.dtype.name)}
+    return {name: a}
+
+
+def _npz_unpack(cache: dict) -> dict:
+    """Inverse of `_npz_pack` over a loaded cache dict (pass-through for
+    entries without a dtype sidecar, e.g. caches saved by float32 models)."""
+    out = {}
+    for k, v in cache.items():
+        if k.endswith("__dtype"):
+            continue
+        dt = cache.get(k + "__dtype")
+        out[k] = v.astype(np.dtype(getattr(jnp, str(dt)))) if dt is not None \
+            else v
+    return out
+
+
 class LocalizationResult(NamedTuple):
     position_w: np.ndarray       # [B, 2] top-1 world position per query
     candidates_w: np.ndarray     # [B, K, 2] per-candidate world positions
@@ -196,28 +221,20 @@ class Localizer:
                 self._serve = self._build_serve_sharded(mesh)
 
     def _build_sentence_tables(self):
-        """([V, Dc], [V, Df]) per-sentence trunk outputs over the vocabulary."""
-        from text2loc_tpu.data.batch import TextSet
+        """([V, Dc], [V, Df]) per-sentence trunk outputs over the vocabulary
+        (the shared retrieval.build_vocab_sentence_table construction)."""
+        from text2loc_tpu.evaluation.retrieval import build_vocab_sentence_table
 
-        v = self.embedder.table.shape[0]
-        vocab = TextSet(
-            token_embeds=self.embedder.table[:, None],      # [V, 1, T, E]
-            token_mask=self.embedder.token_mask[:, None],
-            sentence_mask=jnp.ones((v, 1), bool),
+        coarse = build_vocab_sentence_table(
+            self._coarse_model, self.embedder, self.coarse_state.params,
+            self.coarse_state.batch_stats,
+            self._coarse_model.encode_text_sentences,
         )
-        coarse = jax.jit(
-            lambda p, s, t: self._coarse_model.apply(
-                {"params": p, "batch_stats": s}, t, train=False,
-                method=self._coarse_model.encode_text_sentences,
-            )
-        )(self.coarse_state.params, self.coarse_state.batch_stats, vocab)
-        fine = jax.jit(
-            lambda p, s, t: self._fine_model.apply(
-                {"params": p, "batch_stats": s}, t, train=False,
-                method=self._fine_model.encode_hints,
-            )
-        )(self.fine_state.params, self.fine_state.batch_stats, vocab)
-        return coarse[:, 0], fine[:, 0]                     # [V, D]
+        fine = build_vocab_sentence_table(
+            self._fine_model, self.embedder, self.fine_state.params,
+            self.fine_state.batch_stats, self._fine_model.encode_hints,
+        )
+        return coarse, fine                                 # [V, D] each
 
     def _cache_digest(self) -> str:
         """SHA-256 over everything the cached encodings are a function of:
@@ -267,7 +284,7 @@ class Localizer:
             # NpzFile would hold the zip handle open for the Localizer's
             # lifetime (and across the os.replace of a cache upgrade).
             with np.load(cache_path, allow_pickle=False) as f:
-                cache = {k: f[k] for k in f.files}
+                cache = _npz_unpack({k: f[k] for k in f.files})
         except Exception as e:  # truncated/corrupt write, not an npz, ...
             warnings.warn(
                 f"unreadable gallery cache {cache_path} ({e}); re-encoding"
@@ -301,20 +318,16 @@ class Localizer:
         import tempfile
 
         payload = dict(
-            gallery=gallery,
             num_cells=self.data.num_cells,
             pad_size=self.cfg.model.pad_size,
             digest=np.asarray(self._digest),
         )
+        payload.update(_npz_pack("gallery", gallery))
         if self._fine_emb is not None:
-            payload.update(
-                fine_emb=np.asarray(self._fine_emb),
-                fine_mask=np.asarray(self._fine_mask),
-            )
-        payload.update(
-            coarse_sent_table=np.asarray(self._coarse_sent_table),
-            fine_sent_table=np.asarray(self._fine_sent_table),
-        )
+            payload.update(_npz_pack("fine_emb", self._fine_emb))
+            payload["fine_mask"] = np.asarray(self._fine_mask)
+        payload.update(_npz_pack("coarse_sent_table", self._coarse_sent_table))
+        payload.update(_npz_pack("fine_sent_table", self._fine_sent_table))
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(os.path.abspath(cache_path)),
             prefix=os.path.basename(cache_path) + ".tmp.",

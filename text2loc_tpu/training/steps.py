@@ -155,7 +155,7 @@ def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedd
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
-        kaug, kdrop, kneg = jax.random.split(rng, 3)
+        kaug, kdrop, kneg, kdrop_neg = jax.random.split(rng, 4)
         objects, text = prepare_coarse_batch(batch, embedder, cfg, kaug, train=True)
         neg_objects = (
             prepare_negative_objects(batch, cfg, kneg) if is_triplet else None
@@ -171,11 +171,15 @@ def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedd
                 # Negative tower pass chained AFTER the positive one so BN
                 # running stats see both batches, like the reference's
                 # sequential encode_objects calls (coarse.py:44-50).
+                # Independent dropout key: reusing kdrop would give the
+                # negative tower bit-identical masks to the positive pass
+                # (same module paths/shapes), correlating the pos/neg noise
+                # where the reference's torch dropout draws independently.
                 neg_emb, updates = model.apply(
                     {"params": params,
                      "batch_stats": updates["batch_stats"]},
                     neg_objects, train=True,
-                    mutable=["batch_stats"], rngs={"dropout": kdrop},
+                    mutable=["batch_stats"], rngs={"dropout": kdrop_neg},
                     method=model.encode_objects,
                 )
                 # nn.TripletMarginLoss on the (normalized) tower outputs
@@ -228,8 +232,10 @@ def make_coarse_encoders(model: CellRetrievalNetwork, embedder: HintTextEmbedder
 def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
                        train: bool) -> FineBatch:
     kp, kf = jax.random.split(rng)
-    # Fine-stage flips are gated separately and DEFAULT OFF: the reference
-    # fine recipe trains without them (training/fine.py:168, flip_pose=False).
+    # Fine-stage flips have their own gate, DEFAULT ON (the measured winner,
+    # BENCHMARKS.md fine-flip A/B); `--fine_flip_poses off` reproduces the
+    # reference recipe, which trains without them (training/fine.py:168,
+    # flip_pose=False).
     if train and cfg.train.fine_flip_poses:
         batch = augment.flip_coarse(batch, kf)
     xyz, rgb = augment.point_cloud_transform(
