@@ -326,6 +326,11 @@ class CompositionalOnlineEncoder:
         self._table = HintTextEmbedder.compositional(
             embed_dim=embed_dim, max_tokens=max_tokens, seed=seed
         )
+        # Host copies ONCE: the embedder stores device arrays, and a
+        # per-encode np.asarray would transfer the whole [V, T, E] table
+        # (~100 MB at T5-large dims) device->host on every call.
+        self._table_np = np.asarray(self._table.table)
+        self._tmask_np = np.asarray(self._table.token_mask)
         self.embed_dim = embed_dim
         self.max_tokens = max_tokens
         self._seed = seed
@@ -347,8 +352,7 @@ class CompositionalOnlineEncoder:
         n = len(sentences)
         emb = np.zeros((n, self.max_tokens, self.embed_dim), np.float32)
         mask = np.zeros((n, self.max_tokens), bool)
-        table = np.asarray(self._table.table)
-        tmask = np.asarray(self._table.token_mask)
+        table, tmask = self._table_np, self._tmask_np
         for i, s in enumerate(sentences):
             try:
                 d, c, l = parse_hint(s)

@@ -151,7 +151,9 @@ class Localizer:
             self._gallery = jax.device_put(
                 padded, NamedSharding(mesh, P(mesh.axis_names[0]))
             )
-            self._topk = make_sharded_topk(mesh, self.top_k, c)
+            self._topk = make_sharded_topk(
+                mesh, self.top_k, c, axis_name=mesh.axis_names[0]
+            )
             self._num_real_cells = c
         else:
             self._gallery = jnp.asarray(gallery)
@@ -165,6 +167,14 @@ class Localizer:
         # reference re-encodes candidate cells inside its per-pose loop
         # (evaluation/pipeline.py:105-126).
         self._fine_emb = self._fine_mask = None
+        # A precompute_fine=False construction must not DESTROY an existing
+        # fine cache: if this run re-saves (e.g. to add missing sentence
+        # tables), the cached encodings are carried through to the new file.
+        self._carry_fine = (
+            (cached["fine_emb"], cached["fine_mask"])
+            if not precompute_fine and cached is not None
+            and "fine_emb" in cached else None
+        )
         if precompute_fine:
             fwd = steps_lib.make_fine_split_forwards(fine_model, embedder, cfg)
             self._fine_fwd = fwd
@@ -216,6 +226,14 @@ class Localizer:
         self._serve = None
         if self._fine_emb is not None:
             if mesh is None:
+                # Device-resident ONCE: encode_fine_gallery and the cache
+                # both hand back host numpy, and jit re-uploads numpy
+                # arguments every call — per-query transfer of the whole
+                # [C, pad, D] fine cache would defeat the single-dispatch
+                # serve. (The sharded path device_puts _fine_emb_sh at
+                # build time already.)
+                self._fine_emb = jnp.asarray(self._fine_emb)
+                self._fine_mask = jnp.asarray(self._fine_mask)
                 self._serve = self._build_serve()
             else:
                 self._serve = self._build_serve_sharded(mesh)
@@ -262,6 +280,12 @@ class Localizer:
         # The sentence tables are additionally a function of the frozen text
         # embedder (its content hash covers table + token mask).
         h.update(self.embedder.checksum().encode())
+        # Config knobs the cached encodings depend on beyond the weights:
+        # per-cell object caps and point budget change what the towers see;
+        # the compute dtype changes the cached values themselves.
+        m = self.cfg.model
+        h.update(str((m.object_size, m.pad_size, m.pointnet.num_points,
+                      m.dtype, m.mask_padded)).encode())
         d = self.data
         for a in (d.cell_bbox, d.cell_size, d.obj_xyz, d.obj_rgb,
                   d.obj_center, d.obj_color, d.obj_num_points, d.obj_class,
@@ -326,6 +350,9 @@ class Localizer:
         if self._fine_emb is not None:
             payload.update(_npz_pack("fine_emb", self._fine_emb))
             payload["fine_mask"] = np.asarray(self._fine_mask)
+        elif self._carry_fine is not None:
+            payload.update(_npz_pack("fine_emb", self._carry_fine[0]))
+            payload["fine_mask"] = np.asarray(self._carry_fine[1])
         payload.update(_npz_pack("coarse_sent_table", self._coarse_sent_table))
         payload.update(_npz_pack("fine_sent_table", self._fine_sent_table))
         fd, tmp = tempfile.mkstemp(
@@ -606,50 +633,36 @@ class Localizer:
         b, k = idx.shape
         rep = np.repeat(np.arange(b), k)  # hint rows replicate per candidate
         flat = idx.reshape(-1)
-        if self._fine_emb is not None:
-            # Hints encoded once per query, reused across its K candidates.
-            hints = self._fine_fwd.encode_text(
-                self.fine_state.params, self.fine_state.batch_stats, batch
-            )
-            hints = jnp.asarray(hints)[rep]
-            smask = (
-                batch["sentence_mask"][rep]
-                if has_mask
-                else np.ones(hints.shape[:2], bool)
-            )
-            pred = np.asarray(
-                self._fine_fwd.cct(
-                    self.fine_state.params, self.fine_state.batch_stats,
-                    self._fine_emb[flat], self._fine_mask[flat], hints, smask,
-                )
-            ).reshape(b, k, 2)
-        else:
-            fine_batch = self.data.gather_cell_objects(
-                flat, self.cfg.model.pad_size
-            )
-            if "token_embeds" in batch:
-                fine_batch.update(
-                    token_embeds=batch["token_embeds"][rep],
-                    token_mask=batch["token_mask"][rep],
-                )
-            else:
-                fine_batch.update(
-                    hint_dir=batch["hint_dir"][rep],
-                    hint_color=batch["hint_color"][rep],
-                    hint_label=batch["hint_label"][rep],
-                )
+        # This stepwise path only runs WITHOUT a fine cache (a built cache
+        # always routes through the single-dispatch serve above), so each
+        # candidate cell's objects are re-encoded per query — the
+        # reference's per-pose loop semantics (evaluation/pipeline.py:105-126).
+        fine_batch = self.data.gather_cell_objects(
+            flat, self.cfg.model.pad_size
+        )
+        if "token_embeds" in batch:
             fine_batch.update(
-                target=np.zeros((b * k, 2), np.float32),
-                pose_in_cell=np.zeros((b * k, 2), np.float32),
+                token_embeds=batch["token_embeds"][rep],
+                token_mask=batch["token_mask"][rep],
             )
-            if has_mask:
-                fine_batch["sentence_mask"] = batch["sentence_mask"][rep]
-            pred = np.asarray(
-                self._fine_forward(
-                    self.fine_state.params, self.fine_state.batch_stats,
-                    fine_batch, self._rng,
-                )
-            ).reshape(b, k, 2)
+        else:
+            fine_batch.update(
+                hint_dir=batch["hint_dir"][rep],
+                hint_color=batch["hint_color"][rep],
+                hint_label=batch["hint_label"][rep],
+            )
+        fine_batch.update(
+            target=np.zeros((b * k, 2), np.float32),
+            pose_in_cell=np.zeros((b * k, 2), np.float32),
+        )
+        if has_mask:
+            fine_batch["sentence_mask"] = batch["sentence_mask"][rep]
+        pred = np.asarray(
+            self._fine_forward(
+                self.fine_state.params, self.fine_state.batch_stats,
+                fine_batch, self._rng,
+            )
+        ).reshape(b, k, 2)
 
         bbox = self.data.cell_bbox[idx]                  # [B, K, 6]
         size = self.data.cell_size[idx][..., None]
