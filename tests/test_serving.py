@@ -106,6 +106,69 @@ def test_localizer_sharded_gallery(small_cfg, small_embedder, small_data):
     np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
 
 
+def test_localizer_sharded_custom_axis_name(small_cfg, small_embedder,
+                                            small_data):
+    """A mesh with a non-default axis name must work on BOTH sharded paths
+    (the fused serve and the no-fine-cache stepwise top-k, which once
+    hardcoded 'dp')."""
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    dense = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3)
+    mesh = make_mesh(8, axis_name="gallery")
+    q = np.arange(3)
+    a = dense.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+    for precompute in (True, False):
+        sharded = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                            mesh=mesh, precompute_fine=precompute)
+        b = sharded.localize(data.hint_dir[q], data.hint_color[q],
+                             data.hint_label[q])
+        np.testing.assert_array_equal(a.cell_indices, b.cell_indices)
+        np.testing.assert_allclose(a.candidates_w, b.candidates_w, atol=1e-5)
+
+
+def test_localizer_cache_upgrade_keeps_fine_cache(small_cfg, small_embedder,
+                                                  small_data, tmp_path,
+                                                  monkeypatch):
+    """A precompute_fine=False construction that re-saves the cache (e.g. a
+    missing-field upgrade) must carry the existing fine encodings through,
+    not destroy them."""
+    import os
+
+    import text2loc_tpu.serving as serving_mod
+
+    cfg, data, embedder = small_cfg, small_data, small_embedder
+    cs, cm, fs, fm = _states(cfg, embedder, data)
+    path = str(tmp_path / "gallery.npz")
+    Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3, cache_path=path)
+    with np.load(path, allow_pickle=False) as f:
+        assert "fine_emb" in f.files
+
+    # Strip the sentence tables to simulate an older cache; the next
+    # construction must re-save (tables missing) WITHOUT losing fine_emb.
+    with np.load(path, allow_pickle=False) as f:
+        stripped = {k: f[k] for k in f.files
+                    if not k.startswith(("coarse_sent", "fine_sent"))}
+    with open(path, "wb") as fh:
+        np.savez(fh, **stripped)
+    Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+              precompute_fine=False, cache_path=path)
+    with np.load(path, allow_pickle=False) as f:
+        assert "fine_emb" in f.files and "coarse_sent_table" in f.files
+
+    # And the carried encodings still serve: a warm full construction loads
+    # everything with both encoders poisoned.
+    def boom(*a, **k):
+        raise AssertionError("cache miss: re-encoded")
+
+    monkeypatch.setattr(serving_mod, "encode_gallery", boom)
+    monkeypatch.setattr(serving_mod.steps_lib, "encode_fine_gallery", boom)
+    monkeypatch.setattr(serving_mod.Localizer, "_build_sentence_tables", boom)
+    warm = Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
+                     cache_path=path)
+    q = np.arange(3)
+    warm.localize(data.hint_dir[q], data.hint_color[q], data.hint_label[q])
+
+
 def test_localizer_sharded_oov_equals_dense(small_cfg, small_embedder,
                                             small_data):
     """Out-of-vocabulary (embedded) batches through the SHARDED serve: the
