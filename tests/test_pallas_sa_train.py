@@ -385,3 +385,22 @@ def test_module_fused_train_matches_xla_path(variant):
             np.asarray(vf), np.asarray(vr), rtol=5e-4, atol=1e-3,
             err_msg=str(kr),
         )
+
+
+def test_tiles_e_respects_sublane_rule():
+    """The cached-e tile shrink loop must only produce s-tiles Mosaic
+    accepts: a multiple of 8, or the full S (non-power-of-two S like 24
+    once halved to 12 and failed at compile time)."""
+    from text2loc_tpu.ops.pallas_sa_train import _tiles_e
+
+    for (n, s, k, h1, esize) in [
+        (512, 24, 32, 64, 4),      # non-power-of-two S: must stay at 24
+        (512, 40, 32, 64, 4),
+        (2048, 64, 16, 128, 4),    # default-ladder shapes still shrink
+        (1024, 256, 16, 32, 2),
+        (896, 16, 32, 64, 4),
+    ]:
+        g_t, s_t = _tiles_e(n, s, k, h1, esize)
+        assert s % s_t == 0, (s, s_t)
+        assert s_t == s or s_t % 8 == 0, (s, s_t)
+        assert n % g_t == 0 or g_t <= n, (n, g_t)

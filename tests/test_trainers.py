@@ -109,6 +109,16 @@ def test_checkpoint_round_trip(small_cfg, small_embedder, small_data, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
 
+    # A NEW manager over the same directory (the resume path) recovers the
+    # best metric from disk, so a worse post-resume eval is still rejected —
+    # without this, the first post-resume save would overwrite the best
+    # checkpoint and be reported as the best state.
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), mode="max")
+    assert mgr2.best_metric == 0.5
+    assert not mgr2.save(2, state, 0.3)
+    assert mgr2.save(3, state, 0.6)
+    mgr2.close()
+
 
 def test_train_coarse_resume(small_cfg, small_embedder, small_data, tmp_path):
     import dataclasses

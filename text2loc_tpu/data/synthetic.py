@@ -161,6 +161,13 @@ def make_scene(
         hint_label=hint_label,
         hint_obj_idx=hint_obj_idx,
         hint_matched=hint_matched,
+        # Real sentences only: a cell with fewer than num_mentioned objects
+        # yields a short hint set, and the default all-True mask would let
+        # the zero-initialized trailing slots (dir 0 / color 0 / class 0)
+        # enter attention and pooling as phantom hints — real ingest pads
+        # AND masks (ingest.py). Synthetic hints are all matched, so the
+        # matched flags are exactly the valid-sentence mask.
+        hint_mask=hint_matched.copy(),
         offset_center=offset_center,
         offset_closest=offset_closest,
         best_offset_center=offset_center.copy(),

@@ -143,6 +143,9 @@ def _load(args):
 
 
 def main_pipeline(argv=None):
+    from text2loc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from text2loc_tpu.evaluation.pipeline import run_pipeline
 
     args = build_argparser().parse_args(argv)
@@ -174,6 +177,9 @@ def main_pipeline(argv=None):
 
 
 def main_coarse(argv=None):
+    from text2loc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from text2loc_tpu.evaluation.pipeline import run_coarse
     from text2loc_tpu.evaluation.metrics import print_accuracies
 

@@ -182,17 +182,26 @@ def eval_retrieval(
     top_k: Optional[Sequence[int]] = None,
     rng: Optional[jax.Array] = None,
     mesh=None,
+    encoders=None,
 ) -> Tuple[Dict[int, float], Dict[int, float], np.ndarray]:
     """Full eval_epoch equivalent (reference training/coarse.py:63-157).
 
     With a mesh, the gallery is sharded across chips and top-k candidates are
     merged over ICI (text2loc_tpu.parallel.retrieval).
 
+    Pass prebuilt `encoders` ((encode_cells, encode_text) from
+    make_coarse_encoders) when calling in a loop — each fresh build is a new
+    jit wrapper whose first call retraces and recompiles, minutes per epoch
+    over the remote-compile tunnel.
+
     Returns (top-k recall, close recall, retrieved gallery indices [Q, max_k]).
     """
     top_k = tuple(top_k) if top_k is not None else cfg.train.top_k
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    encode_cells, encode_text = make_coarse_encoders(model, embedder, cfg)
+    encode_cells, encode_text = (
+        encoders if encoders is not None
+        else make_coarse_encoders(model, embedder, cfg)
+    )
 
     cell_enc = encode_gallery(data, state, encode_cells, cfg, rng)
     if getattr(cfg.eval, "sentence_table", False):

@@ -707,9 +707,11 @@ def _tiles_e(n, s, k, h1, esize):
     budget = 1024 * 1024
     # Mosaic requires the sublane (second-minor) block dim divisible by 8
     # unless it equals the full array dim, and the sv/dout blocks are
-    # (g_t, s_t, H) — so s_t must stay >= 8 once it leaves s. Shed grid
-    # width via s_t down to that floor, then via g_t.
-    while g_t * s_t * k * h1 * esize > budget and s_t > 8 and s_t % 2 == 0:
+    # (g_t, s_t, H) — so once s_t leaves s, every shrunk value must itself
+    # be a multiple of 8 (s=24 halving to 12 would be rejected at compile
+    # time). Shed grid width via s_t down to that floor, then via g_t.
+    while (g_t * s_t * k * h1 * esize > budget
+           and s_t % 2 == 0 and (s_t // 2) % 8 == 0):
         s_t //= 2
     while g_t * s_t * k * h1 * esize > budget and g_t > 1:
         g_t //= 2
@@ -885,7 +887,8 @@ def _backward_e(e, u, sv, w2, idx, maskm, maskf, aux1, aux2, n1, dout,
     # limit. Shrink ITS s-tile until the one-hot stays under 1 MB; the
     # other kernels keep the wider tile (their scratch is e-sized only).
     s_t3 = s_t
-    while s_t3 * k * p * 4 > 1024 * 1024 and s_t3 > 8 and s_t3 % 2 == 0:
+    while (s_t3 * k * p * 4 > 1024 * 1024
+           and s_t3 % 2 == 0 and (s_t3 // 2) % 8 == 0):
         s_t3 //= 2
     sp3 = _specs(p, k, h1, h2, s_t3, g_t)
     se3 = _especs(k, h1, h2, s_t3, g_t, edt)

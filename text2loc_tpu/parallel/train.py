@@ -48,15 +48,23 @@ def _bind(step: Callable, mesh: Mesh, axis_name: str) -> Callable:
 
     import os
 
+    # The fused TRAINING SA kernel (a Mosaic custom call) cannot be
+    # auto-partitioned by GSPMD. Default: keep the DP trace on the XLA
+    # path. With TEXT2LOC_FUSED_SA_TRAIN_DP=1 the kernel instead runs
+    # as a shard_map island inside the jitted step (object batch
+    # sharded over the dp axis, BN statistics psum'd — global-batch
+    # semantics identical to GSPMD; equality tested on the virtual
+    # CPU mesh in tests/test_parallel.py).
+    #
+    # Read ONCE at bind time: the context managers only matter during
+    # tracing, and `jitted` caches its first trace — re-reading the env per
+    # call would LOOK like a live knob while silently reusing the first
+    # call's program (the stale-trace footgun CLAUDE.md documents for
+    # env-knob A/Bs). Rebuild the step to change modes.
+    fused_dp = os.environ.get("TEXT2LOC_FUSED_SA_TRAIN_DP", "") not in ("", "0")
+
     def run(state, batch, rng):
-        # The fused TRAINING SA kernel (a Mosaic custom call) cannot be
-        # auto-partitioned by GSPMD. Default: keep the DP trace on the XLA
-        # path. With TEXT2LOC_FUSED_SA_TRAIN_DP=1 the kernel instead runs
-        # as a shard_map island inside the jitted step (object batch
-        # sharded over the dp axis, BN statistics psum'd — global-batch
-        # semantics identical to GSPMD; equality tested on the virtual
-        # CPU mesh in tests/test_parallel.py).
-        if os.environ.get("TEXT2LOC_FUSED_SA_TRAIN_DP", "") not in ("", "0"):
+        if fused_dp:
             with pointnet2.fused_train_mesh(mesh, axis_name):
                 return jitted(state, batch, rng)
         with pointnet2.suppress_fused_train():

@@ -113,6 +113,7 @@ def train_coarse(
     logger = MetricLogger(f"{workdir}/coarse_metrics.jsonl" if workdir else None)
     ckpt = None
     start_epoch = 0
+    resumed_best = None
     if workdir is not None:
         from text2loc_tpu.utils.checkpoint import CheckpointManager
 
@@ -122,6 +123,10 @@ def train_coarse(
             # optimization from weights only (coarse.py:256-258).
             start_epoch = int(ckpt.latest_step()) + 1
             state = ckpt.restore(state)
+            # Restore the best-val gate too (CheckpointManager recovers the
+            # saved metric): a post-resume eval must beat the
+            # PRE-preemption best to checkpoint or to become best_state.
+            resumed_best = ckpt.best_metric
             print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
     timer = StageTimer()
@@ -135,7 +140,13 @@ def train_coarse(
         if t.loss.ranking_loss == "triplet" else None
     )
     best_state = state
-    best_val = -np.inf
+    best_val = -np.inf if resumed_best is None else float(resumed_best)
+    if resumed_best is not None:
+        # The restored state IS the pre-preemption best (saves are gated on
+        # improvement, so latest == best).
+        best_state = jax.device_get(state)
+    # One pair of jitted eval encoders for every epoch + final test eval.
+    eval_encoders = steps_lib.make_coarse_encoders(model, embedder, cfg)
     for epoch in range(start_epoch, t.epochs):
         perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
         losses = []
@@ -150,19 +161,22 @@ def train_coarse(
                 state, metrics = step_fn(state, batch, srng)
                 losses.append(metrics["loss"])
         block_on(losses[-1] if losses else None)
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        # One device->host transfer, not one ~30 ms relay round trip per step.
+        mean_loss = float(jax.numpy.stack(losses).mean())
 
         row = {"loss": mean_loss}
         if eval_train and (epoch + 1) % eval_every == 0:
             with timer.stage("eval_train"):
                 tr_acc, _, _ = eval_retrieval(
-                    data_train, state, model, embedder, cfg
+                    data_train, state, model, embedder, cfg,
+                    encoders=eval_encoders,
                 )
             row.update({f"train_recall@{k}": v for k, v in tr_acc.items()})
         if data_val is not None and (epoch + 1) % eval_every == 0:
             with timer.stage("eval_val"):
                 acc, acc_close, _ = eval_retrieval(
-                    data_val, state, model, embedder, cfg
+                    data_val, state, model, embedder, cfg,
+                    encoders=eval_encoders,
                 )
             # Best gating: mean recall over the configured k values, the
             # reference's val top-k criterion (coarse.py:317-319).
@@ -183,7 +197,8 @@ def train_coarse(
         best_state = jax.device_get(state)  # no val eval ran: return final
     if data_test is not None:
         acc, acc_close, _ = eval_retrieval(
-            data_test, best_state, model, embedder, cfg
+            data_test, best_state, model, embedder, cfg,
+            encoders=eval_encoders,
         )
         print(
             "test recall: "
@@ -286,6 +301,9 @@ def _load_data(cfg: Config, args,
 
 
 def main(argv=None):
+    from text2loc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_argparser().parse_args(argv)
     cfg = Config().validate()
     cfg = _apply_overrides(cfg, args)

@@ -57,10 +57,16 @@ def eval_fine(
     embedder: HintTextEmbedder,
     cfg: Config,
     batch_size: int = 64,
+    forward=None,
 ) -> float:
     """Mean pose-offset error on a split (reference fine.py:103-130):
-    each pose against its gt best cell, L2 in normalized cell units."""
-    forward = steps_lib.make_fine_forward(model, embedder, cfg)
+    each pose against its gt best cell, L2 in normalized cell units.
+
+    Pass a prebuilt `forward` (make_fine_forward) when calling in a loop:
+    each fresh build is a new jit wrapper whose first call retraces and
+    recompiles — minutes per epoch over the remote-compile tunnel."""
+    if forward is None:
+        forward = steps_lib.make_fine_forward(model, embedder, cfg)
     rng = jax.random.PRNGKey(0)
     n = data.num_poses
     errs = []
@@ -133,6 +139,7 @@ def train_fine(
     logger = MetricLogger(f"{workdir}/fine_metrics.jsonl" if workdir else None)
     ckpt = None
     start_epoch = 0
+    resumed_best = None
     if workdir is not None:
         from text2loc_tpu.utils.checkpoint import CheckpointManager
 
@@ -140,12 +147,19 @@ def train_fine(
         if resume and ckpt.latest_step() is not None:
             start_epoch = int(ckpt.latest_step()) + 1
             state = ckpt.restore(state)
+            # Restore the best-val gate (see training/coarse.py): the first
+            # post-resume eval must beat the pre-preemption best pose error.
+            resumed_best = ckpt.best_metric
             print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
     timer = StageTimer()
     order_rng = np.random.default_rng(t.seed + 1)
     best_state = state
-    best_val = np.inf
+    best_val = np.inf if resumed_best is None else float(resumed_best)
+    if resumed_best is not None:
+        best_state = jax.device_get(state)  # latest == best (gated saves)
+    # One jitted eval forward for every epoch eval + the final test eval.
+    eval_forward = steps_lib.make_fine_forward(model, embedder, cfg)
     for epoch in range(start_epoch, t.epochs):
         perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
         losses, errors = [], []
@@ -165,14 +179,17 @@ def train_fine(
                 losses.append(metrics["loss"])
                 errors.append(metrics["pose_error"])
         block_on(losses[-1] if losses else None)
+        # One device->host transfer per epoch: per-scalar float() readbacks
+        # pay the ~30 ms relay round trip EACH (~10 s/epoch at 350 steps).
         row = {
-            "loss": float(np.mean([float(l) for l in losses])),
-            "pose_error": float(np.mean([float(e) for e in errors])),
+            "loss": float(jax.numpy.stack(losses).mean()),
+            "pose_error": float(jax.numpy.stack(errors).mean()),
         }
 
         if data_val is not None and (epoch + 1) % eval_every == 0:
             with timer.stage("eval_val"):
-                val_err = eval_fine(data_val, state, model, embedder, cfg)
+                val_err = eval_fine(data_val, state, model, embedder, cfg,
+                                    forward=eval_forward)
             row["val_pose_error"] = val_err
             if val_err < best_val:
                 best_val = val_err
@@ -185,7 +202,8 @@ def train_fine(
     if not np.isfinite(best_val):
         best_state = jax.device_get(state)
     if data_test is not None:
-        test_err = eval_fine(data_test, best_state, model, embedder, cfg)
+        test_err = eval_fine(data_test, best_state, model, embedder, cfg,
+                             forward=eval_forward)
         print(f"test pose_error: {test_err:0.4f}", flush=True)
     if workdir is not None:
         logger.plot(f"{workdir}/fine_metrics.png")
@@ -201,6 +219,9 @@ def main(argv=None):
         build_argparser,
     )
 
+    from text2loc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = build_argparser()
     ap.add_argument("--pmc_prob", type=float, default=None)
     ap.add_argument("--fine_flip_poses", choices=("on", "off"), default=None,
@@ -214,16 +235,6 @@ def main(argv=None):
     # Fine keeps an f32 body by default: the mixed-body A/B measured
     # slightly worse pose error for only 1.06x/step (BENCHMARKS.md).
     cfg = _apply_overrides(cfg, args, tpu_default_body=None)
-    if args.pmc_prob is not None:
-        import dataclasses
-
-        cfg = cfg.replace(train=dataclasses.replace(cfg.train, pmc_prob=args.pmc_prob))
-    if args.fine_flip_poses is not None:
-        cfg = cfg.replace(
-            train=dataclasses.replace(
-                cfg.train, fine_flip_poses=args.fine_flip_poses == "on"
-            )
-        )
     if args.debug_nans:
         from text2loc_tpu.utils.debug import enable_nan_debugging
 
@@ -231,6 +242,19 @@ def main(argv=None):
     cfg, data_train, data_val, data_test = _load_data(
         cfg, args, tpu_default_body=None
     )
+    # Fine-specific overrides AFTER _load_data: the --synthetic branch
+    # rebuilds cfg from small_test_config (+ the shared overrides only), so
+    # applying these earlier would silently discard them on smoke runs.
+    import dataclasses
+
+    if args.pmc_prob is not None:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, pmc_prob=args.pmc_prob))
+    if args.fine_flip_poses is not None:
+        cfg = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train, fine_flip_poses=args.fine_flip_poses == "on"
+            )
+        )
     from text2loc_tpu.models.text_embedding import make_embedder
 
     cfg, embedder = make_embedder(cfg, args.text_table)

@@ -103,8 +103,9 @@ def prepare_coarse_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
         augment=train and t.pc_augment,
     )
     objects = _build_object_set(batch, xyz, rgb)
-    text = embedder.embed(batch["hint_dir"], batch["hint_color"], batch["hint_label"],
-                          sentence_mask=batch.get("sentence_mask"))
+    # Shared lookup (handles the online-encoder token_embeds passthrough for
+    # OOV eval batches exactly like prepare_fine_batch).
+    text = embed_text_batch(embedder, batch)
     return objects, text
 
 
@@ -269,7 +270,12 @@ def make_fine_train_step(model: CrossMatch, embedder: HintTextEmbedder,
             )
             # loss = offset_lambda * MSE(pred, target) (reference fine.py:65-68).
             mse = jnp.mean((pred - fb.target) ** 2)
-            err = losses.pose_error(pred, fb.pose_in_cell)
+            # Metric against fb.target, NOT fb.pose_in_cell: target lives in
+            # the batch's candidate-cell frame (PMC clones swap the cell,
+            # flips transform the target), while pose_in_cell stays in the
+            # stored best-cell frame — mixing frames adds ~0.33 phantom
+            # error per cloned sample.
+            err = losses.pose_error(pred, fb.target)
             return offset_lambda * mse, (updates["batch_stats"], err)
 
         with pointnet2.fused_train_auto(auto):

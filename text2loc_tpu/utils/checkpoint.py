@@ -41,6 +41,15 @@ class CheckpointManager:
             best_mode="max",
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        # Recover the best metric from existing checkpoints so a resumed run
+        # keeps the save-only-on-improvement gate: without this, the first
+        # post-resume eval (however bad) would overwrite the best checkpoint
+        # and be reported as the best state.
+        bs = self._mgr.best_step()
+        if bs is not None:
+            m = self._mgr.metrics(bs)
+            if m is not None and "metric" in m:
+                self.best_metric = float(m["metric"])
 
     def _is_better(self, metric: float) -> bool:
         if self.best_metric is None:
