@@ -85,10 +85,21 @@ class RefObjectEncoder(tnn.Module):
         self.pos_encoder = ref_get_mlp([3, 64, embed_dim])
         self.num_encoder = ref_get_mlp([1, 64, embed_dim])
         self.mlp_merge = ref_get_mlp([4 * embed_dim, embed_dim])
+        # The reference looks classes up BY LABEL through known_classes =
+        # {c: i+1 for c in np.unique(labels)} (object_encoder.py:31-33,81)
+        # — i.e. rows are ordered alphabetically, NOT in CLASS_TO_INDEX
+        # order. This LUT translates our class_idx input into the
+        # reference's row index so the fixture exercises the real layout
+        # (a fixture that indexed class_idx+1 directly would 'pass' even
+        # with a row-shuffling conversion bug).
+        self._class_lut = torch.tensor(
+            [C.KNOWN_CLASSES.index(C.INDEX_TO_CLASS[j]) + 1
+             for j in range(C.NUM_CLASSES)]
+        )
 
     def forward(self, class_idx, colors, centers, nums):
         e = [
-            tF.normalize(self.class_embedding(class_idx + 1), dim=-1),
+            tF.normalize(self.class_embedding(self._class_lut[class_idx]), dim=-1),
             tF.normalize(self.color_encoder(colors), dim=-1),
             tF.normalize(self.pos_encoder(centers), dim=-1),
             tF.normalize(
@@ -416,3 +427,36 @@ def test_convert_checkpoint_cli_round_trip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(want.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_color_embedding_conversion_reproduces_reference_name_mapping():
+    """convert_object_encoder's color_embed table must reproduce the
+    reference's NAME-keyed lookup: known_colors = {c: i for i, c in
+    enumerate(COLOR_NAMES)} (+ <unk>: 0), used WITHOUT +1
+    (object_encoder.py:35-37,83). The duplicate "gray" makes centroid 1
+    resolve to row 4 (row 1 is unreachable/untrained), and "dark-green"
+    shares the frozen padding row 0 with <unk>."""
+    import dataclasses
+
+    from text2loc_tpu.models.torch_convert import convert_object_encoder
+
+    d = 16
+    rng = np.random.default_rng(0)
+    # Reference table: one row per unique name + <unk> (7 + 1 = 8 rows).
+    ref_w = rng.standard_normal((8, d)).astype(np.float32)
+    sd = {"color_embedding.weight": ref_w}
+    mcfg = dataclasses.replace(
+        ModelConfig(), use_features=("color",), color_embed=True
+    )
+    params, _ = convert_object_encoder(sd, "", mcfg)
+    tbl = params["color_embedding"]["embedding"]
+    assert tbl.shape == (C.NUM_COLORS + 1, d)
+    ref_idx = {}
+    for i, name in enumerate(C.COLOR_NAMES):
+        ref_idx[name] = i                       # later duplicate wins
+    for j, name in enumerate(C.COLOR_NAMES):
+        np.testing.assert_array_equal(tbl[j + 1], ref_w[ref_idx[name]],
+                                      err_msg=f"centroid {j} ({name})")
+    # The collision cases specifically:
+    np.testing.assert_array_equal(tbl[2], ref_w[4])   # centroid 1 "gray"
+    np.testing.assert_array_equal(tbl[1], ref_w[0])   # "dark-green" == <unk> row

@@ -319,3 +319,68 @@ def test_param_tree_unchanged():
     for norm in ("norm1", "norm2", "norm3"):
         assert set(p[norm]) == {"scale", "bias"}
         assert p[norm]["scale"].shape == (32,)
+
+
+def test_fully_masked_sample_does_not_leak_across_fold():
+    """A sample whose keys are ALL masked must produce output independent
+    of the OTHER samples folded into the same group (off-block penalty
+    strictly dominates the key-mask penalty in both folded paths)."""
+    from text2loc_tpu.models.transformer import grouped_dot_product_attention
+    from text2loc_tpu.ops.pallas_mha import fused_mha_addlayernorm
+
+    rng = np.random.default_rng(11)
+    b, lq, lk, d, h = 8, 6, 6, 128, 4
+    dh = d // h
+
+    def variant(seed):
+        r = np.random.default_rng(seed)
+        q = jnp.asarray(r.standard_normal((b, lq, h, dh)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((b, lk, h, dh)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((b, lk, h, dh)), jnp.float32)
+        return q, k, v
+
+    # Sample 0 fixed with an all-False key mask; samples 1.. differ.
+    q0, k0, v0 = variant(100)
+    outs = []
+    for seed in (1, 2):
+        qa, ka, va = variant(seed)
+        q = qa.at[0].set(q0[0])
+        k = ka.at[0].set(k0[0])
+        v = va.at[0].set(v0[0])
+        key_valid = np.ones((b, lk), bool)
+        key_valid[0] = False                     # sample 0: fully masked
+        mask = jnp.asarray(key_valid)[:, None, None, :] & jnp.ones(
+            (b, 1, lq, lk), bool
+        )
+        out = grouped_dot_product_attention(q, k, v, mask=mask,
+                                            group_rows=8 * lq)
+        outs.append(np.asarray(out[0]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+    # Same property through the fused whole-block kernel (interpret mode).
+    wq, wk, wv = (jnp.asarray(rng.standard_normal((d, h, dh)) * 0.1,
+                              jnp.float32) for _ in range(3))
+    bq, bk, bv = (jnp.asarray(rng.standard_normal((h, dh)) * 0.1,
+                              jnp.float32) for _ in range(3))
+    wo = jnp.asarray(rng.standard_normal((h, dh, d)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    be = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    x0 = jnp.asarray(np.random.default_rng(200).standard_normal((1, lq, d)),
+                     jnp.float32)
+    outs = []
+    for seed in (3, 4):
+        r = np.random.default_rng(seed)
+        x = jnp.asarray(r.standard_normal((b, lq, d)), jnp.float32)
+        kv = jnp.asarray(r.standard_normal((b, lk, d)), jnp.float32)
+        x = x.at[0].set(x0[0])
+        kv = kv.at[0].set(x0[0])
+        key_valid = np.ones((b, lk), bool)
+        key_valid[0] = False
+        out = fused_mha_addlayernorm(
+            x, kv, wq, bq, wk, bk, wv, bv, wo, bo, g, be,
+            key_mask=jnp.asarray(key_valid), num_heads=h, group_rows=8 * lq,
+            interpret=True,
+        )
+        outs.append(np.asarray(out[0]))
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -112,8 +112,9 @@ class MLP(nn.Module):
                 if not last:
                     x = nn.relu(x)
                 continue
-            use_bn = self.add_batchnorm and (self.tail != "none")
-            if use_bn and (not last or self.tail in ("relu", "bn")):
+            # tail "relu"/"bn": BN on every layer; ReLU on every layer
+            # except a "bn"-tail's last.
+            if self.add_batchnorm:
                 x = MaskedBatchNorm(dims[i + 1], name=f"bn_{i}")(x, mask=mask, train=train)
             if not last or self.tail == "relu":
                 x = nn.relu(x)

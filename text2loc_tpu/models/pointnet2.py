@@ -137,11 +137,14 @@ def suppress_fused_train():
     so by default multi-chip DP steps keep the XLA edge-tensor path (see
     fused_train_mesh for the shard_map alternative). Explicit
     fused_train=True on the module still wins (tests)."""
+    prev = _FUSED_TRAIN_SUPPRESSED[0]
     _FUSED_TRAIN_SUPPRESSED[0] = True
     try:
         yield
     finally:
-        _FUSED_TRAIN_SUPPRESSED[0] = False
+        # Restore, don't reset: a nested context (or one entered inside a
+        # wider suppression) must not re-enable the kernel on exit.
+        _FUSED_TRAIN_SUPPRESSED[0] = prev
 
 
 @contextlib.contextmanager
@@ -153,11 +156,12 @@ def fused_train_mesh(mesh, axis_name: str):
     coexists with a GSPMD DP train step: GSPMD cannot partition a Mosaic
     custom call, but a manual shard_map island inside the jitted program
     can. Set by parallel/train._bind when TEXT2LOC_FUSED_SA_TRAIN_DP=1."""
+    prev = _FUSED_TRAIN_MESH[0]
     _FUSED_TRAIN_MESH[0] = (mesh, axis_name)
     try:
         yield
     finally:
-        _FUSED_TRAIN_MESH[0] = None
+        _FUSED_TRAIN_MESH[0] = prev
 
 
 def _fused_train_default() -> bool:

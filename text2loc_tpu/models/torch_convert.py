@@ -273,13 +273,37 @@ def convert_object_encoder(sd: Mapping[str, np.ndarray], prefix: str, cfg):
             stats["pointnet"] = pn_s
         mlp("mlp_pointnet")
     elif "class" in use:
-        params["class_embedding"] = {"embedding": sd[f"{p}class_embedding.weight"]}
+        from text2loc_tpu import constants as C
+
+        # The reference's rows are ordered ALPHABETICALLY: known_classes =
+        # {c: i+1 for i, c in enumerate(list(np.unique(labels)))} with
+        # "<unk>" at 0 (object_encoder.py:31-33, cells.py:180-184 via
+        # np.unique). Our model indexes class_idx+1 with class_idx in
+        # CLASS_TO_INDEX order — permute rows accordingly (a verbatim copy
+        # binds every class to the wrong embedding).
+        w = sd[f"{p}class_embedding.weight"]
+        tbl = np.zeros_like(np.asarray(w))
+        tbl[0] = w[0]
+        for c, j in C.CLASS_TO_INDEX.items():
+            tbl[j + 1] = w[C.KNOWN_CLASSES.index(c) + 1]
+        params["class_embedding"] = {"embedding": tbl}
 
     if "color" in use:
         if cfg.color_embed:
-            w = sd[f"{p}color_embedding.weight"]
-            tbl = np.zeros((w.shape[0] + 1, w.shape[1]), w.dtype)
-            tbl[1:] = w
+            from text2loc_tpu import constants as C
+
+            # The reference keys colors by NAME: known_colors = {c: i for
+            # i, c in enumerate(COLOR_NAMES)} + {"<unk>": 0}
+            # (object_encoder.py:35-37), looked up WITHOUT +1
+            # (object_encoder.py:83). The duplicate "gray" makes row 1
+            # unreachable ("gray" -> 4), and "dark-green" shares the frozen
+            # padding row 0 with "<unk>" — reproduce exactly that mapping
+            # for our centroid-indexed (+1) table.
+            w = np.asarray(sd[f"{p}color_embedding.weight"])
+            ref_idx = {name: i for i, name in enumerate(C.COLOR_NAMES)}
+            tbl = np.zeros((C.NUM_COLORS + 1, w.shape[1]), w.dtype)
+            for j, name in enumerate(C.COLOR_NAMES):
+                tbl[j + 1] = w[ref_idx[name]]
             params["color_embedding"] = {"embedding": tbl}
         else:
             mlp("color_encoder")

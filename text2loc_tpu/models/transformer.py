@@ -177,16 +177,20 @@ def grouped_dot_product_attention(query, key, value, mask=None,
         "nqhd,nkhd->nhqk", qf, kf, preferred_element_type=jnp.float32
     ) / np.sqrt(dh).astype(np.float32)
 
-    # Block-diagonal sample validity, intersected with the key mask.
+    # Key-mask penalty (-1e9) and block-diagonal penalty (-2e9) are applied
+    # SEPARATELY, off-block strictly dominating: a row whose own keys are
+    # all masked must still attend within its own sample, not spread weight
+    # onto other samples in the fold whose logits would otherwise tie.
+    def fold(x):
+        return x.transpose(0, 1, 3, 2, 4).reshape(nb, 1, g * lq, g * lk)
+
     eye = jnp.eye(g, dtype=bool)
     if mask is not None:
         m = mask[:, 0].reshape(nb, g, lq, lk)                   # [nb, g, Lq, Lk]
-        allow = m[:, :, None] & eye[None, :, :, None, None]     # [nb, g, g, Lq, Lk]
-    else:
-        ones = jnp.ones((nb, g, lq, lk), bool)
-        allow = ones[:, :, None] & eye[None, :, :, None, None]
-    allow = allow.transpose(0, 1, 3, 2, 4).reshape(nb, 1, g * lq, g * lk)
-    scores = jnp.where(allow, scores, -1e9)
+        km = jnp.broadcast_to(m[:, None], (nb, g, g, lq, lk))   # key-group at 2
+        scores = jnp.where(fold(km), scores, -1e9)
+    block = jnp.broadcast_to(eye[None, :, :, None, None], (nb, g, g, lq, lk))
+    scores = jnp.where(fold(block), scores, -2e9)
 
     weights = jax.nn.softmax(scores, axis=-1).astype(query.dtype)
     out = jnp.einsum("nhqk,nkhd->nqhd", weights, vf)

@@ -89,7 +89,12 @@ def _mha_block_kernel(x_ref, m_ref, kb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # [G*Lq, G*Lk]
-        s = jnp.where(block, s + kb, -1e9)
+        # Off-block penalty (-2e9) strictly dominates the key-mask penalty
+        # (kb = -1e9): a row whose keys are ALL masked must still attend
+        # within its own sample (softmax over its own masked logits), not
+        # leak weight onto other samples in the fold whose -1e9 off-block
+        # logits would otherwise be comparable.
+        s = jnp.where(block, s + kb, -2e9)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)

@@ -81,12 +81,16 @@ class CheckpointManager:
                 step, args=ocp.args.StandardRestore(jax.device_get(state_like))
             )
         except (ValueError, KeyError) as e:
+            # Keep the original error front and center — a corrupt file or
+            # an orbax shape error raises the same types; the key-rename
+            # hint below is only ONE possible cause.
             raise ValueError(
-                f"checkpoint at {self.directory} (step {step}) does not match "
-                "the current model's parameter tree. If it predates the "
-                "round-2 explicit submodule names (MLP_0 -> mlp_pointnet/"
-                "color_encoder/pos_encoder/num_encoder/mlp_merge/inter_mlp), "
-                "retrain or rename the keys in the checkpoint tree."
+                f"failed to restore checkpoint at {self.directory} "
+                f"(step {step}): {e}. If the tree keys mismatch and the "
+                "checkpoint predates the round-2 explicit submodule names "
+                "(MLP_0 -> mlp_pointnet/color_encoder/pos_encoder/"
+                "num_encoder/mlp_merge/inter_mlp), retrain or rename the "
+                "keys in the checkpoint tree."
             ) from e
         return TrainState(*restored)
 

@@ -46,7 +46,7 @@ class StageTimer:
 
 
 @contextlib.contextmanager
-def profile_trace(log_dir: Optional[str], with_memory: bool = True):
+def profile_trace(log_dir: Optional[str]):
     """jax.profiler trace context; no-op when log_dir is None."""
     if log_dir is None:
         yield
