@@ -26,7 +26,14 @@ def _coerce(value: str, typ):
     """Parse a CLI override string into a ModelConfig field's type."""
     origin = getattr(typ, "__origin__", None)
     if typ is bool or typ == "bool":
-        return value.lower() in ("1", "true", "yes", "on")
+        v = value.strip().lower()
+        if v in ("1", "true", "yes", "on"):
+            return True
+        if v in ("0", "false", "no", "off"):
+            return False
+        # Erroring like the int/float branches do: a typo ('ture') must not
+        # silently convert the checkpoint with the flag off.
+        raise ValueError(f"not a boolean: {value!r}")
     if origin is tuple:
         elem = typ.__args__[0]
         return tuple(_coerce(v, elem) for v in value.split(",") if v)
@@ -44,21 +51,24 @@ def apply_model_overrides(model_cfg, overrides):
     checkpoints trained at non-default dims still load
     (/root/reference/evaluation/args.py:28-55); this is the equivalent knob.
     """
+    import typing
+
     fields = {f.name: f for f in dataclasses.fields(model_cfg)}
+    # Resolve annotations once via the dataclass's declared types.
+    hints = typing.get_type_hints(type(model_cfg))
     kwargs = {}
     for item in overrides:
         key, _, value = item.partition("=")
         if key not in fields:
             raise SystemExit(f"unknown ModelConfig field {key!r}")
-        # Resolve the annotation via the dataclass field's declared type.
-        import typing
-
-        hints = typing.get_type_hints(type(model_cfg))
         kwargs[key] = _coerce(value, hints[key])
     return dataclasses.replace(model_cfg, **kwargs)
 
 
 def main(argv=None):
+    from text2loc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--kind", required=True, choices=("coarse", "fine"))
     ap.add_argument("--torch_ckpt", required=True, help="reference .pth")

@@ -80,11 +80,10 @@ def build_argparser():
 
 
 def _enable_cache():
-    import jax
+    # Shared helper (respects an explicit JAX_COMPILATION_CACHE_DIR).
+    from text2loc_tpu.utils.compile_cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/text2loc_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    enable_compile_cache()
 
 
 def _load_split(args, cfg, split):
@@ -176,6 +175,7 @@ def _kernel_sweep(data, coarse_model, coarse_state, fine_model, fine_state,
 
     out = {}
     base = None
+    saved = os.environ.get("TEXT2LOC_FUSED_SA")
     for mode in ("off", "first", "all"):
         os.environ["TEXT2LOC_FUSED_SA"] = mode
         r = run_pipeline(data, coarse_state, coarse_model, fine_state,
@@ -191,15 +191,24 @@ def _kernel_sweep(data, coarse_model, coarse_state, fine_model, fine_state,
             agree = base["retrievals"][:, 0] == r["retrievals"][:, 0]
             entry["top1_agreement_vs_exact"] = float(agree.mean())
             same = base["retrievals"] == r["retrievals"]
-            d = np.linalg.norm(
-                (base["pos_in_cells"] - r["pos_in_cells"])[same], axis=-1
-            )
-            sizes = np.broadcast_to(
-                data.cell_size[r["retrievals"]], same.shape
-            )[same]
-            entry["mean_abs_dpos_m_vs_exact"] = float((d * sizes).mean())
+            if same.any():
+                d = np.linalg.norm(
+                    (base["pos_in_cells"] - r["pos_in_cells"])[same], axis=-1
+                )
+                sizes = np.broadcast_to(
+                    data.cell_size[r["retrievals"]], same.shape
+                )[same]
+                entry["mean_abs_dpos_m_vs_exact"] = float((d * sizes).mean())
+            else:
+                # No agreeing slots: a position delta is undefined (a NaN
+                # here would make the report non-JSON for strict parsers).
+                entry["mean_abs_dpos_m_vs_exact"] = None
         out[mode] = entry
-    os.environ.pop("TEXT2LOC_FUSED_SA", None)
+    # Restore the caller's pin (parity.main is importable library code).
+    if saved is None:
+        os.environ.pop("TEXT2LOC_FUSED_SA", None)
+    else:
+        os.environ["TEXT2LOC_FUSED_SA"] = saved
     return out
 
 
@@ -242,7 +251,10 @@ def main(argv=None):
         cfg, embedder = make_embedder(cfg, args.text_table)
 
     report = {"config": {
-        "reference_attention": not args.no_reference_attention,
+        # Record what was ACTUALLY applied: pool-over-padding is only
+        # switched on for torch checkpoints (converted-Orbax runs keep the
+        # TPU-native masked attention their conversion was validated with).
+        "reference_attention": not cfg.model.mask_padded,
         "coarse_ckpt": args.coarse_torch_ckpt or args.coarse_ckpt,
         "fine_ckpt": args.fine_torch_ckpt or args.fine_ckpt,
         "tolerance": args.tolerance,

@@ -118,14 +118,18 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--modes", nargs="*", default=list(MODES))
+    ap.add_argument("--modes", nargs="*", default=list(MODES),
+                    choices=list(MODES))
     args = ap.parse_args(argv)
+    # Agreement numbers are defined AGAINST THE EXACT BASELINE: always run
+    # it first, whatever --modes asked for (without this, the first listed
+    # mode silently became the baseline and was reported with
+    # top1_agreement 1.0).
+    modes = ["exact"] + [m for m in args.modes if m != "exact"]
 
-    import jax
+    from text2loc_tpu.utils.compile_cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/text2loc_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    enable_compile_cache()
 
     import numpy as np
 
@@ -185,7 +189,8 @@ def main(argv=None):
     fine_model = CrossMatch(cfg.model)
     results = {}
     base = None
-    for mode in args.modes:
+    saved_env = {v: os.environ.get(v) for v in _MODE_VARS}
+    for mode in modes:
         env = MODES[mode]
         for v in _MODE_VARS:
             os.environ.pop(v, None)
@@ -219,12 +224,18 @@ def main(argv=None):
                 )[same]
                 entry["mean_abs_dpos_m"] = float((d * sizes).mean())
             else:
-                entry["mean_abs_dpos_m"] = float("nan")
+                # None, not NaN: bare NaN makes the JSON report unreadable
+                # for strict parsers.
+                entry["mean_abs_dpos_m"] = None
         results[mode] = entry
         print(json.dumps({mode: entry}), flush=True)
 
-    for v in _MODE_VARS:
-        os.environ.pop(v, None)
+    # Restore the caller's env pins (importable library entry point).
+    for v, val in saved_env.items():
+        if val is None:
+            os.environ.pop(v, None)
+        else:
+            os.environ[v] = val
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)

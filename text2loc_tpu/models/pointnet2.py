@@ -64,11 +64,16 @@ def _fused_mode() -> str:
     ):
         return "off"
     v = os.environ.get("TEXT2LOC_FUSED_SA", "first")
-    if v == "1":
+    if v in ("1", "exact"):
         return "exact"
-    if v in ("all", "gather", "full", "first", "off"):
-        return v
-    return "off"
+    if v in ("all", "gather", "full", "first", "off", ""):
+        return v or "off"
+    # Same validation as the comma-list path: a typo ('frst') must not
+    # silently benchmark the XLA path as if it were a fused kernel.
+    raise ValueError(
+        f"TEXT2LOC_FUSED_SA={v!r}: expected off|first|full|gather|all|"
+        "exact|1 or a comma list"
+    )
 
 
 def _fused_mode_list(n_levels: int) -> list:
