@@ -166,6 +166,24 @@ def test_npz_round_trip(tiny_dataset, tmp_path):
     assert a.cell_ids == b.cell_ids
 
 
+def test_npz_cache_keyed_by_conversion_params(tiny_dataset, tmp_path):
+    """A cache produced at one store_points must not be reused for another:
+    cache filenames are parameter-keyed, so the second request converts
+    fresh (different P) instead of loading stale shape-incompatible
+    arrays."""
+    base, _, _ = tiny_dataset
+    out = tmp_path / "arrays"
+    a = convert_base_path(str(base), [SCENE], out_dir=str(out),
+                          store_points=16)[0]
+    b = convert_base_path(str(base), [SCENE], out_dir=str(out),
+                          store_points=8)[0]
+    assert a.obj_xyz.shape[2] == 16 and b.obj_xyz.shape[2] == 8
+    import os
+
+    names = sorted(os.listdir(out))
+    assert any("_p16_" in n for n in names) and any("_p8_" in n for n in names)
+
+
 def test_sample_close_cell_option(tiny_dataset):
     """gather_coarse with sample_close_rng picks in-range, same-scene cells."""
     base, cells, poses = tiny_dataset

@@ -117,3 +117,63 @@ def test_sample_pmc_swaps_cell():
     cell_idx, hint_obj = sample_pmc(d, np.array([0]), rng, pmc_prob=0.0)
     assert cell_idx[0] == 0
     assert hint_obj[0, 0] == 0
+
+
+def test_build_tables_short_hint_row():
+    """A pose with fewer descriptions than num_mentioned must not crash the
+    table build (match rows are partially filled, trailing slots -1)."""
+    cells, poses, neighbors = _setup()
+    valid, _, match = build_pmc_tables(
+        cells, poses, neighbors, num_mentioned=3, pmc_threshold=0.4,
+        count_threshold=0,
+    )
+    assert valid[0, 0]
+    assert match[0, 0, 0] == 1
+    assert (match[0, 0, 1:] == -1).all()
+
+
+def test_build_tables_object_slots_cap_gates_validity():
+    """A match landing beyond the dataset's per-cell slot cap is unusable
+    (gather_fine indexes [C, O] arrays): it must be dropped to -1 BEFORE
+    the count_threshold gate, so validity is not granted on it."""
+    cells, poses, neighbors = _setup()
+    # The shared object sits at slot 1 in cell B; capping slots at 1 makes
+    # the match unusable -> with count_threshold=0 the candidate is invalid.
+    valid, _, match = build_pmc_tables(
+        cells, poses, neighbors, num_mentioned=1, count_threshold=0,
+        object_slots=1,
+    )
+    assert not valid.any()
+    # Permitting one unmatched hint keeps it valid, with the slot dropped.
+    valid, _, match = build_pmc_tables(
+        cells, poses, neighbors, num_mentioned=1, count_threshold=1,
+        object_slots=1,
+    )
+    assert valid[0, 0]
+    assert match[0, 0, 0] == -1
+
+
+def test_fine_object_order_fallback_matches_native_semantics():
+    """The numpy fallback must bound-check and dedup matched slots exactly
+    like the native kernel (duplicate matches and beyond-cap slots)."""
+    from unittest import mock
+
+    from text2loc_tpu import native
+    from text2loc_tpu.data.arrays import MultiSceneArrays
+    from text2loc_tpu.data.synthetic import make_scene
+
+    data = MultiSceneArrays([make_scene(
+        "0000", num_cells=2, num_poses=2, object_slots=6, num_points=16,
+        num_mentioned=4, seed=0,
+    )])
+    # Duplicates + out-of-range slots in one matched row.
+    matched = np.array([[2, 2, 9, 0], [-1, 5, 5, 99]], np.int32)
+    args = (np.array([0, 1]), np.array([0, 1]), 4)
+    kw = dict(hint_obj_idx=matched)
+    want = data.fine_object_order(*args, **kw)
+    with mock.patch.object(native, "available", return_value=False):
+        got = data.fine_object_order(*args, **kw)
+    np.testing.assert_array_equal(got, want)
+    # Dedup/bounds explicitly: row 0 = [2, 0, distractors...], no repeat.
+    assert list(want[0][:2]) == [2, 0]
+    assert len(set(want[0].tolist())) == len(want[0])

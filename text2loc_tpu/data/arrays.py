@@ -237,11 +237,16 @@ class MultiSceneArrays:
             "mask": self.obj_mask[ci, :o_cap],
         }
 
+    @property
+    def cell_centers(self) -> np.ndarray:
+        """[C, 2] world-frame cell centers — THE bbox-midpoint convention,
+        shared by close_cells / eval_retrieval / visualize."""
+        return 0.5 * (self.cell_bbox[:, 0:2] + self.cell_bbox[:, 3:5])
+
     def close_cells(self, pose_idx: int) -> np.ndarray:
         """Gallery cells whose center is within cell_size/2 of the pose and in
         the same scene (reference cells.py:69-74, sample_close_cell option)."""
-        centers = 0.5 * (self.cell_bbox[:, 0:2] + self.cell_bbox[:, 3:5])
-        d = np.linalg.norm(centers - self.pose_w[pose_idx, :2], axis=1)
+        d = np.linalg.norm(self.cell_centers - self.pose_w[pose_idx, :2], axis=1)
         ok = (d <= self.cell_size / 2) & (
             self.cell_scene_idx == self.pose_scene_idx[pose_idx]
         )
@@ -319,8 +324,16 @@ class MultiSceneArrays:
 
         order = np.zeros((b, pad_size), dtype=np.int32)
         for i in range(b):
-            matched = [int(m) for m in matched_src[i] if m >= 0]
-            seen = set(matched)
+            # Mirror the native kernel exactly: bound-check AND dedup the
+            # matched slots (two hints matched to the same object, or a
+            # slot beyond this dataset's O cap, must not emit duplicates /
+            # out-of-range gathers — text2loc_native.cpp fine_object_order).
+            matched, seen = [], set()
+            for m in matched_src[i]:
+                m = int(m)
+                if 0 <= m < o and m not in seen:
+                    matched.append(m)
+                    seen.add(m)
             rest = [j for j in range(o) if j not in seen]
             full = (matched + rest)[:pad_size]
             # Pad with trailing (padding-content) slots if the cell has fewer

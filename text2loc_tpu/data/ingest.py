@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import warnings
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -101,7 +102,18 @@ def convert_scene(
             obj_center[ci, oi] = xyz.mean(axis=0)
             obj_color[ci, oi] = rgb.mean(axis=0)
             obj_num[ci, oi] = float(len(xyz))
-            obj_class[ci, oi] = C.CLASS_TO_INDEX[obj.label]
+            # Tolerant lookup (the reference's known_classes.get(label, 0)
+            # '<unk>' semantics, object_encoder.py:81): an unexpected label
+            # maps to the pad class with a warning instead of killing the
+            # whole scene conversion.
+            if obj.label not in C.CLASS_TO_INDEX:
+                warnings.warn(
+                    f"scene {scene_name} cell {cell.id} object {oi}: "
+                    f"unknown class {obj.label!r} -> pad class"
+                )
+            obj_class[ci, oi] = C.CLASS_TO_INDEX.get(
+                obj.label, C.PAD_CLASS_INDEX
+            )
             obj_color_idx[ci, oi] = int(
                 np.argmin(np.linalg.norm(rgb.mean(axis=0) - C.COLORS, axis=1))
             )
@@ -135,6 +147,19 @@ def convert_scene(
         descrs = pose.descriptions[:s]
         hint_mask[pi, : len(descrs)] = True
         for si, d in enumerate(descrs):
+            # A description whose label/direction falls outside the closed
+            # hint vocabulary cannot be rendered as a template sentence:
+            # leave the slot padded+masked (out of attention/pooling) with
+            # a warning instead of killing the whole conversion.
+            if (d.object_label not in C.CLASS_TO_INDEX
+                    or d.direction not in C.DIRECTION_TO_INDEX):
+                warnings.warn(
+                    f"scene {scene_name} pose {pi} hint {si}: unknown "
+                    f"label/direction ({d.object_label!r}, "
+                    f"{d.direction!r}) -> slot masked"
+                )
+                hint_mask[pi, si] = False
+                continue
             hint_dir[pi, si] = C.DIRECTION_TO_INDEX[d.direction]
             rgbm = np.asarray(d.object_color_rgb, np.float32)
             hint_color[pi, si] = int(
@@ -175,6 +200,7 @@ def convert_scene(
             pmc_valid, pmc_weight, pmc_match = build_pmc_tables(
                 cells, poses, neighbors_json, num_mentioned=s,
                 pmc_threshold=pmc_threshold, count_threshold=pmc_count_threshold,
+                object_slots=o,
             )
 
     scene = SceneArrays(
@@ -226,9 +252,17 @@ def convert_base_path(
     (>= 28 so the coarse truncation cap is representable).
     """
     raw = []
+    # Cache filenames are keyed by the conversion parameters that change the
+    # array shapes/content: a cache produced at store_points=256 must not be
+    # silently reused for a store_points=128 request (the arrays would be
+    # shape-incompatible with freshly converted scenes, or — if all scenes
+    # were cached — simply stale).
+    def cache_name(name):
+        return f"{name}_p{store_points}_m{num_mentioned}.npz"
+
     for name in scene_names:
         if out_dir is not None:
-            npz = os.path.join(out_dir, f"{name}.npz")
+            npz = os.path.join(out_dir, cache_name(name))
             if os.path.exists(npz):
                 raw.append(SceneArrays.load_npz(npz))
                 continue
@@ -242,6 +276,18 @@ def convert_base_path(
         raw.append((name, cells, poses, neighbors))
 
     need = [r for r in raw if isinstance(r, tuple)]
+    cached_slots = {r.obj_xyz.shape[1] for r in raw if isinstance(r, SceneArrays)}
+    if need and object_slots == 0 and cached_slots:
+        # Fresh scenes must concatenate with the cached ones: adopt the
+        # cached O instead of re-deriving an auto size from the fresh
+        # subset alone (which could differ and break MultiSceneArrays).
+        if len(cached_slots) > 1:
+            raise ValueError(
+                f"cached scenes in {out_dir} have inconsistent object_slots "
+                f"{sorted(cached_slots)} — clear the cache or pass "
+                "object_slots explicitly"
+            )
+        object_slots = next(iter(cached_slots))
     if need and object_slots == 0:
         biggest = max(len(c.objects) for _, cells, _, _ in need for c in cells)
         # Auto-size to the real maximum, but cap: storage is [C, O, P, 6] and
@@ -279,8 +325,15 @@ def convert_base_path(
         )
         if out_dir is not None:
             os.makedirs(out_dir, exist_ok=True)
-            scene.save_npz(os.path.join(out_dir, f"{name}.npz"))
+            scene.save_npz(os.path.join(out_dir, cache_name(name)))
         out.append(scene)
+    shapes = {(sc.obj_xyz.shape[1], sc.obj_xyz.shape[2]) for sc in out}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"scenes have inconsistent (object_slots, store_points) "
+            f"{sorted(shapes)} — cached scenes were converted with "
+            "different parameters; clear the cache or pass object_slots"
+        )
     return out
 
 

@@ -28,8 +28,25 @@ from text2loc_tpu.constants import NEIGHBOR_KEYS
 from text2loc_tpu.data.structs import Cell, Pose
 
 
+def _cell_geometry(cell: Cell):
+    """(obj_pts, obj_start, obj_label) for the native rematch — a pure
+    function of the cell, cached per cell by build_pmc_tables (it is called
+    for up to 8 neighbors x every pose; rebuilding the concatenated cloud
+    per (pose, neighbor) pair dominated ingest time)."""
+    from text2loc_tpu import constants as C
+
+    counts = [len(o.xyz) for o in cell.objects]
+    obj_start = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=obj_start[1:])
+    obj_pts = np.concatenate([o.xyz for o in cell.objects], axis=0)
+    obj_label = np.array(
+        [C.CLASS_TO_INDEX.get(o.label, -1) for o in cell.objects], np.int32
+    )
+    return obj_pts, obj_start, obj_label
+
+
 def _rematch(pose_w: np.ndarray, cell: Cell, descriptions,
-             atol: float = 1e-7) -> List[int]:
+             atol: float = 1e-7, geometry=None) -> List[int]:
     """Greedy hint->object rematch in a candidate cell (poses.py:458-479).
 
     Returns a slot index per description, -1 where nothing matched. Greedy in
@@ -43,12 +60,8 @@ def _rematch(pose_w: np.ndarray, cell: Cell, descriptions,
     from text2loc_tpu import native
 
     if native.available():
-        counts = [len(o.xyz) for o in cell.objects]
-        obj_start = np.zeros(len(counts) + 1, np.int64)
-        np.cumsum(counts, out=obj_start[1:])
-        obj_pts = np.concatenate([o.xyz for o in cell.objects], axis=0)
-        obj_label = np.array(
-            [C.CLASS_TO_INDEX.get(o.label, -1) for o in cell.objects], np.int32
+        obj_pts, obj_start, obj_label = (
+            geometry if geometry is not None else _cell_geometry(cell)
         )
         descr_label = np.array(
             [C.CLASS_TO_INDEX.get(d.object_label, -2) for d in descriptions],
@@ -88,6 +101,7 @@ def build_pmc_tables(
     num_mentioned: int = 6,
     pmc_threshold: float = 0.4,
     count_threshold: int = 1,
+    object_slots: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Precompute (valid [N,8], weight [N,8], match [N,8,S]) for every pose.
 
@@ -96,6 +110,11 @@ def build_pmc_tables(
       unmatched count <= count_threshold;
     * weight: 1 / (euclidean normalized distance)^2 (normalization over the
       valid set happens at sampling time).
+
+    `object_slots` (0 = unbounded): matches landing beyond the dataset's
+    per-cell slot cap are unusable downstream (gather_fine indexes [C, O]
+    arrays), so they are dropped to -1 BEFORE the count_threshold gate —
+    validity must not be granted on matches that can never be gathered.
     """
     n, s = len(poses), num_mentioned
     cell_index = {c.id: i for i, c in enumerate(cells)}
@@ -103,6 +122,10 @@ def build_pmc_tables(
     weight = np.zeros((n, 8), np.float32)
     match = np.full((n, 8, s), -1, np.int32)
 
+    from text2loc_tpu import native
+
+    geom_cache: Dict = {}
+    use_native = native.available()
     for pi, pose in enumerate(poses):
         mapping = neighbors_json.get(pose.cell_id)
         if mapping is None:
@@ -118,12 +141,22 @@ def build_pmc_tables(
             delta = (np.asarray(pose.pose_w[:2]) - center) / width
             if np.max(np.abs(delta)) >= pmc_threshold:
                 continue
-            slots = _rematch(pose.pose_w, cell, descrs)
+            geometry = None
+            if use_native:
+                geometry = geom_cache.get(nid)
+                if geometry is None:
+                    geometry = geom_cache[nid] = _cell_geometry(cell)
+            slots = _rematch(pose.pose_w, cell, descrs, geometry=geometry)
+            if object_slots:
+                slots = [x if 0 <= x < object_slots else -1 for x in slots]
             if sum(1 for x in slots if x < 0) > count_threshold:
                 continue
             valid[pi, ki] = True
             weight[pi, ki] = 1.0 / max(float(np.linalg.norm(delta)) ** 2, 1e-12)
-            match[pi, ki] = slots
+            # Short hint lists leave trailing slots at -1 (ingest pads AND
+            # masks those sentences; a full-row assign would crash on a
+            # length-(len(descrs)) list).
+            match[pi, ki, : len(slots)] = slots
     return valid, weight, match
 
 

@@ -217,7 +217,7 @@ def eval_retrieval(
         _, idx = topk_retrieval(jnp.asarray(cell_enc), jnp.asarray(text_enc), k)
     idx = np.asarray(idx)
 
-    cell_centers = 0.5 * (data.cell_bbox[:, 0:2] + data.cell_bbox[:, 3:5])
+    cell_centers = data.cell_centers
     acc, acc_close = metrics.retrieval_accuracies(
         retrieved_cell_idx=idx,
         target_cell_idx=data.pose_cell_idx,

@@ -159,7 +159,7 @@ def plot_retrieval_grid(
         return None
     q = min(max_queries, retrievals.shape[0])
     k = retrievals.shape[1]
-    centers = 0.5 * (data.cell_bbox[:, 0:2] + data.cell_bbox[:, 3:5])
+    centers = data.cell_centers
 
     rows = []
     for qi in range(q):

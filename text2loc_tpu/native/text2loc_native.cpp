@@ -105,6 +105,10 @@ int32_t pmc_rematch(const double* obj_pts, const int64_t* obj_start,
     out_match[d] = -1;
     for (int64_t j = 0; j < n_obj; ++j) {
       if (used[j] || obj_label[j] != descr_label[d]) continue;
+      // Empty object: best_i would point at the NEXT object's first point
+      // (or one past the end for the last object) — skip it. The Python
+      // fallback raises on such objects.
+      if (obj_start[j] == obj_start[j + 1]) continue;
       // Closest point of object j to the pose.
       double best = 1e300;
       int64_t best_i = obj_start[j];

@@ -18,6 +18,10 @@ class MetricLogger:
 
     def __init__(self, log_path: Optional[str] = None):
         self.history: Dict[str, list] = defaultdict(list)
+        # Epoch index per appended value: intermittently-logged metrics
+        # (e.g. val_* every eval_every epochs) must plot against their real
+        # epoch, not their call index, or curves misalign across subplots.
+        self.epochs: Dict[str, list] = defaultdict(list)
         self.log_path = log_path
         if log_path is not None:
             os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
@@ -26,6 +30,7 @@ class MetricLogger:
         parts = [f"epoch {epoch:03d}"]
         for name, value in metrics.items():
             self.history[name].append(float(value))
+            self.epochs[name].append(int(epoch))
             parts.append(f"{name}={value:0.4f}")
         print("  ".join(parts), flush=True)
         if self.log_path is not None:
@@ -50,7 +55,7 @@ class MetricLogger:
         fig, axes = plt.subplots(rows, 3, figsize=(12, 3 * rows), squeeze=False)
         for i, name in enumerate(names):
             ax = axes[i // 3][i % 3]
-            ax.plot(self.history[name])
+            ax.plot(self.epochs[name], self.history[name])
             ax.set_title(name)
             ax.grid(True, alpha=0.3)
         for j in range(len(names), rows * 3):
