@@ -138,25 +138,37 @@ def main():
 
     # Per-chunk FLOPs from XLA's own cost model (counts every fused op, not
     # just matmuls) — the numerator for an honest MFU figure. Counted on the
-    # pure-XLA exact program (TEXT2LOC_FUSED_SA=off) so the number is
+    # pure-XLA exact program (TEXT2LOC_DISABLE_PALLAS forces every kernel —
+    # SA, attention, LN, FFN — onto its XLA path) so the number is
     # independent of which kernel variant actually ran (XLA's cost model
-    # cannot see inside Pallas custom calls).
+    # attributes ZERO flops to Pallas custom calls, which would silently
+    # deflate the MFU as more of the program moves into kernels).
+    import contextlib
+
+    @contextlib.contextmanager
+    def _pallas_off():
+        saved = {k: os.environ.get(k)
+                 for k in ("TEXT2LOC_FUSED_SA", "TEXT2LOC_DISABLE_PALLAS")}
+        os.environ["TEXT2LOC_FUSED_SA"] = "off"
+        os.environ["TEXT2LOC_DISABLE_PALLAS"] = "1"
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
     flops_per_chunk = None
     try:
-        saved = os.environ.get("TEXT2LOC_FUSED_SA")
-        os.environ["TEXT2LOC_FUSED_SA"] = "off"
-        try:
+        with _pallas_off():
             cost_fwd = steps_lib.make_fine_forward(model, embedder, cfg)
             cost = (
                 cost_fwd.lower(params, batch_stats, chunks[0], rng)
                 .compile()
                 .cost_analysis()
             )
-        finally:
-            if saved is None:
-                os.environ.pop("TEXT2LOC_FUSED_SA", None)
-            else:
-                os.environ["TEXT2LOC_FUSED_SA"] = saved
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_chunk = float(cost.get("flops", 0.0)) or None
@@ -195,8 +207,12 @@ def main():
     # (evaluation/pipeline.py:105-126) for an apples-to-apples number.
     fwd = steps_lib.make_fine_split_forwards(model, embedder, cfg)
     _log("precomputing fine gallery (offline stage)")
+    # obj_pre: cache cells POST the CCT's layer-0 object self-attention block
+    # (a pure function of the cell, like the rest of the encoding) — the
+    # per-pair serve then starts at cct_tail, exactly like serving.Localizer.
     cell_emb, cell_mask = steps_lib.encode_fine_gallery(
-        fwd, data, params, batch_stats, m.pad_size, rng, chunk=CHUNK
+        fwd, data, params, batch_stats, m.pad_size, rng, chunk=CHUNK,
+        obj_pre=True,
     )
 
     # Sentence table (offline stage, like serving.Localizer): at eval the
@@ -242,9 +258,13 @@ def main():
     def serve_epoch_fn(params, batch_stats, ftbl, ids_all, emb_all, mask_all,
                        pid_all):
         hints_all = jnp.take(ftbl, ids_all, axis=0)        # [Q, S, D]
-        return fwd.cct(    # nested jit inlines
+        # Layer-0 hint self block once per QUERY (shared by its K
+        # candidates); emb_all rows are post the layer-0 object self block.
+        hints1_all = fwd.hints_pre(params, batch_stats, hints_all, sent_all)
+        return fwd.cct_tail(    # nested jit inlines
             params, batch_stats, emb_all, mask_all,
             jnp.take(hints_all, pid_all, axis=0),
+            jnp.take(hints1_all, pid_all, axis=0),
             jnp.take(sent_all, pid_all, axis=0),
         )
 
@@ -256,9 +276,11 @@ def main():
     def serve_epoch_trunk_fn(params, batch_stats, text_all, emb_all, mask_all,
                              pid_all):
         hints_all = fwd.encode_text(params, batch_stats, text_all)
-        return fwd.cct(
+        hints1_all = fwd.hints_pre(params, batch_stats, hints_all, sent_all)
+        return fwd.cct_tail(
             params, batch_stats, emb_all, mask_all,
             jnp.take(hints_all, pid_all, axis=0),
+            jnp.take(hints1_all, pid_all, axis=0),
             jnp.take(sent_all, pid_all, axis=0),
         )
 
@@ -267,12 +289,33 @@ def main():
     _log("compiled production path; timing")
     serve_flops = None
     try:
-        scost = (
-            serve_epoch_fn.lower(params, batch_stats, fine_sent_table,
+        # Fresh forwards + fresh program under the Pallas-off env: the jitted
+        # closures read the kernel gates at trace time, so the ALREADY-traced
+        # serve_epoch_fn would keep its custom calls (zero attributed flops).
+        with _pallas_off():
+            cost_split = steps_lib.make_fine_split_forwards(
+                model, embedder, cfg
+            )
+
+            @jax.jit
+            def cost_serve(params, batch_stats, ftbl, ids_all, emb_all,
+                           mask_all, pid_all):
+                hints_all = jnp.take(ftbl, ids_all, axis=0)
+                hints1_all = cost_split.hints_pre(params, batch_stats,
+                                                  hints_all, sent_all)
+                return cost_split.cct_tail(
+                    params, batch_stats, emb_all, mask_all,
+                    jnp.take(hints_all, pid_all, axis=0),
+                    jnp.take(hints1_all, pid_all, axis=0),
+                    jnp.take(sent_all, pid_all, axis=0),
+                )
+
+            scost = (
+                cost_serve.lower(params, batch_stats, fine_sent_table,
                                  hint_ids_all, emb_all, mask_all, pid_all)
-            .compile()
-            .cost_analysis()
-        )
+                .compile()
+                .cost_analysis()
+            )
         if isinstance(scost, (list, tuple)):
             scost = scost[0]
         serve_flops = float(scost.get("flops", 0.0)) or None

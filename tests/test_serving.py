@@ -141,7 +141,7 @@ def test_localizer_cache_upgrade_keeps_fine_cache(small_cfg, small_embedder,
     path = str(tmp_path / "gallery.npz")
     Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3, cache_path=path)
     with np.load(path, allow_pickle=False) as f:
-        assert "fine_emb" in f.files
+        assert "fine_emb1" in f.files
 
     # Strip the sentence tables to simulate an older cache; the next
     # construction must re-save (tables missing) WITHOUT losing fine_emb.
@@ -153,7 +153,7 @@ def test_localizer_cache_upgrade_keeps_fine_cache(small_cfg, small_embedder,
     Localizer(data, cs, cm, fs, fm, embedder, cfg, top_k=3,
               precompute_fine=False, cache_path=path)
     with np.load(path, allow_pickle=False) as f:
-        assert "fine_emb" in f.files and "coarse_sent_table" in f.files
+        assert "fine_emb1" in f.files and "coarse_sent_table" in f.files
 
     # And the carried encodings still serve: a warm full construction loads
     # everything with both encoders poisoned.

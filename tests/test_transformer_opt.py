@@ -183,7 +183,7 @@ def test_decoder_layer_fused_attn_equals_stock(monkeypatch):
     base = np.asarray(layer.apply(variables, tgt, mem, tgt_mask=tmask,
                                   memory_mask=mmask))
 
-    monkeypatch.setattr(tr, "_fused_attn_enabled", lambda d: True)
+    monkeypatch.setattr(tr, "_fused_attn_enabled", lambda d, dtype=None: True)
     orig = pallas_mha.fused_mha_addlayernorm
     monkeypatch.setattr(
         pallas_mha, "fused_mha_addlayernorm",

@@ -115,6 +115,69 @@ class CrossMatch(nn.Module):
         offsets = self.mlp_offsets(pooled.astype(jnp.float32))
         return offsets                                           # [B, 2]
 
+    # -- Exact factorization of cct() at the layer-0 self/cross boundary --
+    # The cascade's FIRST self-attention blocks read only their own side:
+    # cross_objects_0's self block is a pure function of the CELL's object
+    # embeddings (precomputable per gallery cell, with encode_objects), and
+    # cross_hints_0's self block is a pure function of the POSE's hint
+    # encodings (computable once per query and shared by its K candidate
+    # pairs, like encode_hints). cct(obj, hints) ==
+    # cct_tail(cct_obj_pre(obj), cct_hints_pre(hints), hints) exactly — same
+    # blocks, same order (tests/test_cct_factored.py).
+
+    def cct_obj_pre(self, obj, obj_mask, train: bool = False):
+        """Per-CELL: layer-0 object self-attention block ([B, O, D])."""
+        if self.cross_objects is None:
+            return obj  # 0-layer fallback: objects are memory only (:123)
+        m = obj_mask if self.cfg.mask_padded else None
+        return self.cross_objects[0](obj, tgt_mask=m, train=train,
+                                     stage="self")
+
+    def cct_hints_pre(self, hints, sentence_mask, train: bool = False):
+        """Per-POSE: layer-0 hint self-attention block ([B, S, D])."""
+        m = sentence_mask if self.cfg.mask_padded else None
+        return self.cross_hints[0](hints, tgt_mask=m, train=train,
+                                   stage="self")
+
+    def cct_tail(self, obj1, obj_mask, hints, hints1, sentence_mask,
+                 train: bool = False):
+        """Per-PAIR remainder of cct(): layer-0 cross+FFN blocks, the full
+        later layers, and the pooled offset head.
+
+        Args:
+            obj1: cct_obj_pre output (per-cell, cacheable offline).
+            hints: ORIGINAL hint encodings — layer 0's object-side
+                cross-attention attends to the un-self-attended hints.
+            hints1: cct_hints_pre output (per-pose, shared across K).
+        """
+        if not self.cfg.mask_padded:
+            obj_mask = None
+        hint_mask = sentence_mask if self.cfg.mask_padded else None
+
+        if self.cross_objects is not None:
+            obj = self.cross_objects[0](
+                obj1, hints, memory_mask=hint_mask, train=train, stage="rest"
+            )
+            cur = self.cross_hints[0](
+                hints1, obj, memory_mask=obj_mask, train=train, stage="rest"
+            )
+            for co, ch in zip(self.cross_objects[1:], self.cross_hints[1:]):
+                obj = co(obj, cur, tgt_mask=obj_mask, memory_mask=hint_mask,
+                         train=train)
+                cur = ch(cur, obj, tgt_mask=hint_mask, memory_mask=obj_mask,
+                         train=train)
+        else:
+            cur = self.cross_hints[0](
+                hints1, obj1, memory_mask=obj_mask, train=train, stage="rest"
+            )
+
+        if self.cfg.mask_padded:
+            pooled = masked_max(cur, sentence_mask, axis=1)      # [B, D]
+        else:
+            pooled = jnp.max(cur, axis=1)
+        offsets = self.mlp_offsets(pooled.astype(jnp.float32))
+        return offsets                                           # [B, 2]
+
     def refine(self, obj, obj_mask, text: TextSet, train: bool = False):
         """Query-dependent half: text encoder + CCT + offsets -> [B, 2]."""
         hints = self.encode_hints(text, train=train)             # [B, S, D]

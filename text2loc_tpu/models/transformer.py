@@ -40,9 +40,13 @@ scripts/probe_cct_parts.py, BENCHMARKS.md):
   (ops/pallas_mha.py) — the sample fold that lost at the XLA level wins
   in VMEM, where its block-diagonal mask is an iota compare instead of an
   HBM-materialized boolean tensor, and the latency-bound [B, H, Lq, Lk]
-  batched matmuls become full-width MXU tiles. Env: TEXT2LOC_FUSED_ATTN=0
-  disables, =all forces every dim; TEXT2LOC_FUSED_ATTN_ROWS tunes the
-  sample-fold tile (default 256 rows).
+  batched matmuls become full-width MXU tiles. Default also engages the
+  E=1024 bf16 intra stack (the lane-aligned per-head branch; full-trunk
+  serve 8.41 -> 7.64 ms, BENCHMARKS log #13) but NOT f32 at E=1024 (the
+  f32 operands exceed the 16 MB scoped-VMEM budget). Env:
+  TEXT2LOC_FUSED_ATTN=0 disables, =all forces every dim/dtype;
+  TEXT2LOC_FUSED_ATTN_ROWS tunes the sample-fold tile (default 512 rows —
+  the on-chip sweep winner at both d=128 and d=1024).
 
 Parameter trees are IDENTICAL to the previous stock-flax modules
 (nn.MultiHeadDotProductAttention / nn.LayerNorm layouts), so converted torch
@@ -91,14 +95,22 @@ def _fused_ffn_enabled(d: int) -> bool:
     )
 
 
-def _fused_attn_enabled(d: int) -> bool:
+def _fused_attn_enabled(d: int, dtype=None) -> bool:
+    # Default engages small dims unconditionally and the E=1024 bf16 trunk
+    # (measured winner — BENCHMARKS log #13: full-trunk serve 8.41 -> 7.64 ms
+    # at rows=512, and the kernel's f32 softmax sits CLOSER to the f32 oracle
+    # than stock-bf16). f32 at d=1024 stays on XLA: the fused block's f32
+    # operands exceed the 16 MB scoped-VMEM budget. "all" forces every case.
     v = os.environ.get("TEXT2LOC_FUSED_ATTN", "1")
-    return (
-        jax.default_backend() not in ("cpu", "gpu")
-        and v != "0"
-        and not os.environ.get("TEXT2LOC_DISABLE_PALLAS")
-        and (d <= 256 or v == "all")
-    )
+    if (
+        jax.default_backend() in ("cpu", "gpu")
+        or v == "0"
+        or os.environ.get("TEXT2LOC_DISABLE_PALLAS")
+    ):
+        return False
+    if v == "all" or d <= 256:
+        return True
+    return d <= 1024 and jnp.dtype(dtype or jnp.float32) == jnp.bfloat16
 
 
 class _DenseParams(nn.Module):
@@ -285,10 +297,10 @@ def _attention_block(mod, x, kv, key_mask, *, d_model: int, num_heads: int,
     # stock path supports d_kv != d_model); mismatched widths fall back.
     if (deterministic and d_model % 128 == 0
             and x.shape[-1] == d_model == kv.shape[-1]
-            and _fused_attn_enabled(d_model)):
+            and _fused_attn_enabled(d_model, dtype)):
         from text2loc_tpu.ops.pallas_mha import fused_mha_addlayernorm
 
-        rows = int(os.environ.get("TEXT2LOC_FUSED_ATTN_ROWS", "256"))
+        rows = int(os.environ.get("TEXT2LOC_FUSED_ATTN_ROWS", "512"))
         return fused_mha_addlayernorm(
             x, kv, *p, scale, bias, key_mask=key_mask,
             num_heads=num_heads, group_rows=rows,
@@ -361,6 +373,13 @@ class TorchDecoderLayer(nn.Module):
     Used by the fine stage's cascaded cross-attention transformer
     (reference cross_matcher.py:113-123): tgt attends to itself, then to
     `memory`.
+
+    `stage` factors the layer at the self/cross boundary (exact — the same
+    blocks in the same order): "self" runs only the self-attention block,
+    "rest" consumes a tgt that already went through it. The first cascade
+    layer's self blocks are pure functions of ONE side (the cell's objects /
+    the pose's hints), so serving hoists them out of the per-(pose,
+    candidate) path — see CrossMatch.cct_obj_pre/cct_hints_pre/cct_tail.
     """
 
     d_model: int
@@ -370,13 +389,18 @@ class TorchDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None, train: bool = False):
-        tgt = _attention_block(
-            self, tgt, tgt, tgt_mask, d_model=self.d_model,
-            num_heads=self.num_heads, attn_name="self_attn",
-            norm_name="norm1", dropout_rate=self.dropout_rate,
-            dtype=self.dtype, train=train,
-        )
+    def __call__(self, tgt, memory=None, tgt_mask=None, memory_mask=None,
+                 train: bool = False, stage: str = "full"):
+        assert stage in ("full", "self", "rest"), stage
+        if stage != "rest":
+            tgt = _attention_block(
+                self, tgt, tgt, tgt_mask, d_model=self.d_model,
+                num_heads=self.num_heads, attn_name="self_attn",
+                norm_name="norm1", dropout_rate=self.dropout_rate,
+                dtype=self.dtype, train=train,
+            )
+            if stage == "self":
+                return tgt
         tgt = _attention_block(
             self, tgt, memory, memory_mask, d_model=self.d_model,
             num_heads=self.num_heads, attn_name="cross_attn",

@@ -165,21 +165,26 @@ class Localizer:
         # function of static map data — encode every gallery cell ONCE, and
         # each query pays only for its text tower + CCT refinement. The
         # reference re-encodes candidate cells inside its per-pose loop
-        # (evaluation/pipeline.py:105-126).
+        # (evaluation/pipeline.py:105-126). The cache holds the cells POST
+        # layer-0 self-attention (CrossMatch.cct_obj_pre — also a pure
+        # function of the cell), so the per-pair serve starts at cct_tail;
+        # the npz key is `fine_emb1` so pre-factorization caches (raw
+        # encode_objects rows under `fine_emb`) degrade to gallery-only and
+        # re-encode instead of feeding the wrong tensor into the tail.
         self._fine_emb = self._fine_mask = None
         # A precompute_fine=False construction must not DESTROY an existing
         # fine cache: if this run re-saves (e.g. to add missing sentence
         # tables), the cached encodings are carried through to the new file.
         self._carry_fine = (
-            (cached["fine_emb"], cached["fine_mask"])
+            (cached["fine_emb1"], cached["fine_mask"])
             if not precompute_fine and cached is not None
-            and "fine_emb" in cached else None
+            and "fine_emb1" in cached else None
         )
         if precompute_fine:
             fwd = steps_lib.make_fine_split_forwards(fine_model, embedder, cfg)
             self._fine_fwd = fwd
-            if cached is not None and "fine_emb" in cached:
-                self._fine_emb = cached["fine_emb"]
+            if cached is not None and "fine_emb1" in cached:
+                self._fine_emb = cached["fine_emb1"]
                 self._fine_mask = cached["fine_mask"]
             else:
                 # A gallery-only cache (saved by a precompute_fine=False
@@ -187,7 +192,7 @@ class Localizer:
                 # cache and re-save the upgraded file.
                 self._fine_emb, self._fine_mask = steps_lib.encode_fine_gallery(
                     fwd, data, fine_state.params, fine_state.batch_stats,
-                    cfg.model.pad_size, self._rng, chunk=chunk,
+                    cfg.model.pad_size, self._rng, chunk=chunk, obj_pre=True,
                 )
                 cache_dirty = cache_path is not None
 
@@ -348,10 +353,10 @@ class Localizer:
         )
         payload.update(_npz_pack("gallery", gallery))
         if self._fine_emb is not None:
-            payload.update(_npz_pack("fine_emb", self._fine_emb))
+            payload.update(_npz_pack("fine_emb1", self._fine_emb))
             payload["fine_mask"] = np.asarray(self._fine_mask)
         elif self._carry_fine is not None:
-            payload.update(_npz_pack("fine_emb", self._carry_fine[0]))
+            payload.update(_npz_pack("fine_emb1", self._carry_fine[0]))
             payload["fine_mask"] = np.asarray(self._carry_fine[1])
         payload.update(_npz_pack("coarse_sent_table", self._coarse_sent_table))
         payload.update(_npz_pack("fine_sent_table", self._fine_sent_table))
@@ -404,13 +409,19 @@ class Localizer:
             text_enc, hints = encode_query_text(
                 cparams, cstats, fparams, fstats, ctbl, ftbl, batch
             )
+            # Layer-0 hint self-attention once per QUERY (shared by its K
+            # candidates); fine_emb rows are already post layer-0 object
+            # self-attention (cached per cell) — only cct_tail is per-pair.
+            hints1 = fine_fwd.hints_pre(
+                fparams, fstats, hints, batch["sentence_mask"]
+            )
             scores, idx = topk_retrieval(gallery, text_enc, k)
             b = text_enc.shape[0]
             rep = jnp.repeat(jnp.arange(b), k)
             flat = idx.reshape(-1)
-            pred = fine_fwd.cct(
+            pred = fine_fwd.cct_tail(
                 fparams, fstats, fine_emb[flat], fine_mask[flat],
-                hints[rep], batch["sentence_mask"][rep],
+                hints[rep], hints1[rep], batch["sentence_mask"][rep],
             ).reshape(b, k, 2)
             cand_w = bbox[idx][:, :, 0:2] + pred * size[idx][..., None]
             return cand_w, idx, scores
@@ -482,6 +493,11 @@ class Localizer:
             text_enc, hints = encode_query_text(
                 cparams, cstats, fparams, fstats, ctbl, ftbl, batch
             )                                                    # [B, D]
+            # Per-query layer-0 hint self block (replicated like the text
+            # towers); fine_emb shards are post layer-0 object self block.
+            hints1 = fine_fwd.hints_pre(
+                fparams, fstats, hints, batch["sentence_mask"]
+            )
             s_loc, i_loc, g_loc = shard_local_topk(
                 gallery, text_enc, k, num_cells, ax
             )                                                    # [B, kl] x3
@@ -489,9 +505,9 @@ class Localizer:
             b = s_loc.shape[0]
             rep = jnp.repeat(jnp.arange(b), kl)
             flat = i_loc.reshape(-1)                             # local rows
-            pred = fine_fwd.cct(
+            pred = fine_fwd.cct_tail(
                 fparams, fstats, fine_emb[flat], fine_mask[flat],
-                hints[rep], batch["sentence_mask"][rep],
+                hints[rep], hints1[rep], batch["sentence_mask"][rep],
             ).reshape(b, kl, 2)
             cand_w = bbox[i_loc][:, :, 0:2] + pred * size[i_loc][..., None]
 

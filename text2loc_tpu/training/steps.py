@@ -315,6 +315,13 @@ class FineSplitForwards(NamedTuple):
     * refine(params, stats, obj_emb, obj_mask, text_batch) -> [B, 2] —
       encode_text + cct in one program (per-pair text encoding; used where
       text reuse isn't worth staging).
+    * obj_pre / hints_pre / cct_tail — cct() factored at the cascade's
+      layer-0 self/cross boundary (CrossMatch.cct_obj_pre/...): the layer-0
+      self-attention blocks are pure functions of ONE side, so serving runs
+      obj_pre once per gallery cell (cached offline with encode_objects) and
+      hints_pre once per query; only cct_tail is per-pair. Exact:
+      cct(obj, ..., hints, sm) == cct_tail(obj_pre(obj), ..., hints,
+      hints_pre(hints), sm) (tests/test_cct_factored.py).
 
     The TPU-first answer to the reference's per-pose recompute loop
     (evaluation/pipeline.py:105-126); outputs are identical to
@@ -326,6 +333,9 @@ class FineSplitForwards(NamedTuple):
     encode_text: Callable
     cct: Callable
     refine: Callable
+    obj_pre: Callable
+    hints_pre: Callable
+    cct_tail: Callable
 
 
 def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
@@ -363,19 +373,44 @@ def make_fine_split_forwards(model: CrossMatch, embedder: HintTextEmbedder,
             obj_emb, obj_mask, _embed(batch), train=False, method=model.refine,
         )
 
+    def obj_pre(params, batch_stats, obj_emb, obj_mask):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            obj_emb, obj_mask, train=False, method=model.cct_obj_pre,
+        )
+
+    def hints_pre(params, batch_stats, hints, sentence_mask):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            hints, sentence_mask, train=False, method=model.cct_hints_pre,
+        )
+
+    def cct_tail(params, batch_stats, obj1, obj_mask, hints, hints1,
+                 sentence_mask):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            obj1, obj_mask, hints, hints1, sentence_mask, train=False,
+            method=model.cct_tail,
+        )
+
     return FineSplitForwards(
         jax.jit(encode_objects), jax.jit(encode_text), jax.jit(cct),
-        jax.jit(refine),
+        jax.jit(refine), jax.jit(obj_pre), jax.jit(hints_pre),
+        jax.jit(cct_tail),
     )
 
 
 def encode_fine_gallery(fwd: FineSplitForwards, data, params, batch_stats,
                         pad_size: int, rng, cell_indices=None,
-                        chunk: int = 128):
+                        chunk: int = 128, obj_pre: bool = False):
     """Encode gallery cells' fine object embeddings once, in device chunks.
 
     Args:
         cell_indices: which cells to encode (default: the whole gallery).
+        obj_pre: additionally push each cell through the CCT's layer-0
+            object self-attention block (CrossMatch.cct_obj_pre) — it is a
+            pure function of the cell, so serving caches its OUTPUT and the
+            per-(query, candidate) path starts at cct_tail.
     Returns (cell_emb [C, pad, D], cell_mask [C, pad]) as host numpy — the
     static-map cache shared by serving, evaluation, and bench.
     """
@@ -392,6 +427,9 @@ def encode_fine_gallery(fwd: FineSplitForwards, data, params, batch_stats,
         full = np.resize(sl, chunk)  # pad the tail by wrapping
         cb = data.gather_cell_objects(full, pad_size)
         e = fwd.encode_objects(params, batch_stats, cb, rng)
+        if obj_pre:
+            m = jnp.asarray(data.obj_mask[full][:, :pad_size], bool)
+            e = fwd.obj_pre(params, batch_stats, e, m)
         rows.append(np.asarray(e)[: len(sl)])
     emb = np.concatenate(rows, axis=0)
     mask = np.asarray(data.obj_mask[ids][:, :pad_size])
