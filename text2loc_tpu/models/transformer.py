@@ -101,6 +101,12 @@ def _fused_attn_enabled(d: int, dtype=None) -> bool:
     # at rows=512, and the kernel's f32 softmax sits CLOSER to the f32 oracle
     # than stock-bf16). f32 at d=1024 stays on XLA: the fused block's f32
     # operands exceed the 16 MB scoped-VMEM budget. "all" forces every case.
+    # Intermediate bf16 dims in (256, 1024) are enabled on the assumption
+    # they behave like the measured d=1024 case (bf16 VMEM fit is monotone
+    # below 1024; correctness is equality-tested, only perf is assumed).
+    # Callers pass the RUNTIME activation dtype (x.dtype), not the module's
+    # declared dtype — the kernel computes in x.dtype, so the VMEM gate must
+    # see what will actually flow through it.
     v = os.environ.get("TEXT2LOC_FUSED_ATTN", "1")
     if (
         jax.default_backend() in ("cpu", "gpu")
@@ -297,7 +303,7 @@ def _attention_block(mod, x, kv, key_mask, *, d_model: int, num_heads: int,
     # stock path supports d_kv != d_model); mismatched widths fall back.
     if (deterministic and d_model % 128 == 0
             and x.shape[-1] == d_model == kv.shape[-1]
-            and _fused_attn_enabled(d_model, dtype)):
+            and _fused_attn_enabled(d_model, x.dtype)):
         from text2loc_tpu.ops.pallas_mha import fused_mha_addlayernorm
 
         rows = int(os.environ.get("TEXT2LOC_FUSED_ATTN_ROWS", "512"))

@@ -136,7 +136,7 @@ def _group_size(lq: int, lk: int, target_rows: int) -> int:
 )
 def fused_mha_addlayernorm(x, kv, wq, bq, wk, bk, wv, bv, wo, bo, scale,
                            bias, key_mask=None, *, num_heads: int,
-                           eps: float = 1e-5, group_rows: int = 256,
+                           eps: float = 1e-5, group_rows: int = 512,
                            interpret: bool = False):
     """LayerNorm(x + MHA(x, kv)) in one HBM pass over the rows.
 

@@ -334,6 +334,17 @@ class Localizer:
                 "(cell count, pad size, or weight/map digest differ) — "
                 "delete it to re-encode"
             )
+        if "fine_emb" in cache:
+            # Pre-factorization fine cache (raw encode_objects rows). Those
+            # rows must not feed cct_tail (which expects post layer-0 self-
+            # attention), so they are deliberately DISCARDED: any re-save of
+            # this file drops them, and the fine cache re-encodes on the next
+            # precompute_fine=True construction.
+            warnings.warn(
+                f"gallery cache {cache_path} holds a pre-factorization fine "
+                "cache (key 'fine_emb'); it will be discarded and the fine "
+                "encodings rebuilt under the factored layout ('fine_emb1')"
+            )
         return cache
 
     def _save_cache(self, cache_path, gallery: np.ndarray):
