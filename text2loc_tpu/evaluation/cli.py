@@ -93,6 +93,18 @@ def build_argparser():
     ap.add_argument("--threshs", type=float, nargs="*", default=None,
                     help="localization error thresholds in meters "
                          "(reference evaluation/args.py:21-23; default 5 10 15)")
+    ap.add_argument("--styled_hints", action="store_true",
+                    help="paraphrase-robustness eval: re-render every query "
+                         "through the reference's sentence_style_* banks "
+                         "(text_styles.py) and serve the styled (out-of-"
+                         "vocabulary) strings through localize_text's online-"
+                         "encoder path; prints styled vs canonical recall")
+    ap.add_argument("--styled_seed", type=int, default=0,
+                    help="paraphrase sampling seed for --styled_hints")
+    ap.add_argument("--t5_snapshot", default=None,
+                    help="local HF T5 snapshot for the online encoder used "
+                         "by --styled_hints (default: compositional stand-in "
+                         "matched to the table embedder)")
     ap.add_argument("--sentence_table", action="store_true",
                     help="encode eval queries via the precomputed [V, D] "
                          "sentence table (float-tolerance equal to the full "
@@ -167,6 +179,11 @@ def main_pipeline(argv=None):
     result = run_pipeline(
         data, coarse_state, coarse_model, fine_state, fine_model, embedder, cfg
     )
+    if args.styled_hints:
+        result["styled"] = run_styled(
+            args, cfg, data, coarse_state, coarse_model, fine_state,
+            fine_model, embedder,
+        )
     if args.plot_retrievals:
         from text2loc_tpu.evaluation.visualize import plot_retrieval_grid
 
@@ -174,6 +191,42 @@ def main_pipeline(argv=None):
             data, result["retrievals"], args.plot_retrievals, max_queries=8
         )
     return result
+
+
+def run_styled(args, cfg, data, coarse_state, coarse_model, fine_state,
+               fine_model, embedder):
+    """--styled_hints: paraphrased queries through the serving front door."""
+    from text2loc_tpu.evaluation.styled import eval_styled_retrieval
+    from text2loc_tpu.serving import Localizer
+
+    if args.t5_snapshot:
+        from text2loc_tpu.models.t5_encoder import T5OnlineEncoder
+
+        online = T5OnlineEncoder.from_snapshot(
+            args.t5_snapshot, max_tokens=cfg.model.max_hint_tokens
+        )
+    else:
+        from text2loc_tpu.models.t5_encoder import CompositionalOnlineEncoder
+
+        online = CompositionalOnlineEncoder(
+            embed_dim=cfg.model.text_embed_dim,
+            max_tokens=cfg.model.max_hint_tokens,
+        )
+    localizer = Localizer(
+        data, coarse_state, coarse_model, fine_state, fine_model, embedder,
+        cfg, top_k=max(cfg.eval.top_k), online_encoder=online,
+    )
+    out = eval_styled_retrieval(
+        localizer, data, seed=args.styled_seed, top_k=cfg.eval.top_k
+    )
+    for name in ("canonical", "styled"):
+        r = out[name]
+        ks = " ".join(f"R@{k}={v:.3f}" for k, v in r["recall"].items())
+        print(f"[styled_hints] {name:9s} {ks} "
+              f"mean_err={r['mean_error_m']:.2f}m")
+    gaps = " ".join(f"@{k}={v:+.3f}" for k, v in out["recall_gap"].items())
+    print(f"[styled_hints] canonical-minus-styled recall gap: {gaps}")
+    return out
 
 
 def main_coarse(argv=None):
