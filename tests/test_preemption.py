@@ -1,0 +1,168 @@
+"""Preemption drill under a mesh (VERDICT r3 next #6).
+
+Production preemption recovery = Orbax save of a DP-replicated TrainState ->
+process death -> restore in a fresh process -> re-replicate -> resume. The
+reference has nothing comparable (weights-only best checkpoints,
+/root/reference/training/coarse.py:317-345). These tests prove the full
+path on the 8-device virtual CPU mesh with a BITWISE-identical resumed loss
+trajectory, and pin the multi-host input-assembly contract of
+shard_batch_multihost.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+from text2loc_tpu.parallel import train as ptrain
+from text2loc_tpu.parallel.mesh import make_mesh, shard_batch
+from text2loc_tpu.training import steps as steps_lib
+
+N_STEPS = 5
+KILL_AFTER = 2
+
+
+def _setup(cfg, embedder, data):
+    model = CellRetrievalNetwork(cfg.model)
+    optimizer = steps_lib.make_optimizer(cfg, steps_per_epoch=4)
+    rng = jax.random.PRNGKey(0)
+    batch = data.gather_coarse(np.arange(8), cfg.model.object_size)
+    objects, text = steps_lib.prepare_coarse_batch(
+        batch, embedder, cfg, rng, train=False
+    )
+    state = steps_lib.init_train_state(model, optimizer, rng, objects, text)
+    # Host-resident template: the DP step donates its state argument, and
+    # replicate_state's device_put may alias a device-resident source's
+    # buffer as one of the replicas — donation would then delete the
+    # template out from under the second run.
+    return model, optimizer, jax.device_get(state)
+
+
+def _batches(data, cfg, n):
+    order = np.random.default_rng(3)
+    return [
+        data.gather_coarse(
+            order.choice(data.num_poses, 8, replace=False),
+            cfg.model.object_size,
+        )
+        for _ in range(n)
+    ]
+
+
+def test_dp_preemption_resume_bitwise(small_cfg, small_embedder, small_data,
+                                      tmp_path):
+    """save -> kill -> restore -> re-replicate -> resume reproduces the
+    uninterrupted DP loss trajectory bit for bit."""
+    import dataclasses
+
+    from text2loc_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = small_cfg.replace(
+        train=dataclasses.replace(small_cfg.train, batch_size=8)
+    )
+    embedder, data = small_embedder, small_data
+    mesh = make_mesh(8)
+    rng = jax.random.PRNGKey(7)
+    host_batches = _batches(data, cfg, N_STEPS)
+
+    # Uninterrupted reference trajectory.
+    model, optimizer, state0 = _setup(cfg, embedder, data)
+    step = ptrain.make_dp_coarse_train_step(model, embedder, cfg, optimizer,
+                                            mesh)
+    state = ptrain.replicate_state(state0, mesh)
+    ref_losses = []
+    for b in host_batches:
+        state, m = step(state, shard_batch(b, mesh), rng)
+        ref_losses.append(float(jax.device_get(m["loss"])))
+
+    # Interrupted run: KILL_AFTER steps, checkpoint, die.
+    state = ptrain.replicate_state(state0, mesh)
+    for b in host_batches[:KILL_AFTER]:
+        state, m = step(state, shard_batch(b, mesh), rng)
+        pre_losses = [float(jax.device_get(m["loss"]))]
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    # device_get of a mesh-REPLICATED state (every leaf lives on 8 devices)
+    # must serialize cleanly — this is the production save path.
+    assert mgr.save(KILL_AFTER, state, metric=0.0)
+    mgr.close()
+    del state, step, model, optimizer
+
+    # "New process": fresh everything, restore into an abstract template,
+    # re-replicate onto the mesh, resume.
+    model, optimizer, fresh = _setup(cfg, embedder, data)
+    mgr2 = CheckpointManager(str(tmp_path / "ck"))
+    restored = mgr2.restore(fresh)
+    mgr2.close()
+    assert int(restored.step) == KILL_AFTER
+    step = ptrain.make_dp_coarse_train_step(model, embedder, cfg, optimizer,
+                                            mesh)
+    state = ptrain.replicate_state(restored, mesh)
+    resumed_losses = []
+    for b in host_batches[KILL_AFTER:]:
+        state, m = step(state, shard_batch(b, mesh), rng)
+        resumed_losses.append(float(jax.device_get(m["loss"])))
+
+    # Bitwise: same program, same inputs, same (restored) state.
+    np.testing.assert_array_equal(
+        np.asarray(resumed_losses), np.asarray(ref_losses[KILL_AFTER:])
+    )
+    assert np.isfinite(pre_losses).all()
+
+
+def test_multihost_assembly_contract(small_cfg, small_data):
+    """shard_batch_multihost's layout contract, simulated: in a P-process
+    run, process p supplies global rows [p*B/P, (p+1)*B/P) and the runtime
+    assembles them onto that process's devices in mesh order. Simulate P=2
+    fake processes over the 8-device mesh by assembling the same global
+    array from per-'process' single-device shards and assert it matches the
+    single-process shard_batch result exactly.
+
+    What real multi-host still needs beyond this contract (documented, not
+    testable in-process): jax.distributed.initialize at startup and a
+    per-process data loader feeding each process its own slice — both
+    environment wiring, not array semantics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    batch = small_data.gather_coarse(np.arange(8),
+                                     small_cfg.model.object_size)
+    want = shard_batch(batch, mesh)
+
+    sh = NamedSharding(mesh, P("dp"))
+    devices = list(mesh.devices.reshape(-1))
+
+    def assemble(x):
+        x = np.asarray(x)
+        per_dev = x.shape[0] // len(devices)
+        # two fake processes, 4 devices each; each contributes only ITS rows
+        shards = []
+        for proc in range(2):
+            local = x[proc * 4 * per_dev:(proc + 1) * 4 * per_dev]
+            for i in range(4):
+                d = devices[proc * 4 + i]
+                shards.append(jax.device_put(
+                    local[i * per_dev:(i + 1) * per_dev], d
+                ))
+        return jax.make_array_from_single_device_arrays(x.shape, sh, shards)
+
+    got = jax.tree_util.tree_map(assemble, batch)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+        assert got[k].sharding == want[k].sharding, k
+
+
+def test_multihost_single_process_equivalence(small_cfg, small_data):
+    """Single-process shard_batch_multihost == shard_batch (the degenerate
+    contract the multi-host path must preserve)."""
+    from text2loc_tpu.parallel.mesh import shard_batch_multihost
+
+    mesh = make_mesh(8)
+    batch = small_data.gather_coarse(np.arange(8),
+                                     small_cfg.model.object_size)
+    a = shard_batch(batch, mesh)
+    b = shard_batch_multihost(batch, mesh)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding == b[k].sharding
