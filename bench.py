@@ -37,6 +37,7 @@ def _log(msg: str) -> None:
 
 ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
 V5E_PEAK_FLOPS = 197e12         # TPU v5e bf16 peak per chip
+V5E_PEAK_BYTES = 819e9          # TPU v5e HBM bandwidth per chip (819 GB/s)
 NUM_POSES = int(os.environ.get("BENCH_POSES", "256"))  # serving-batch poses
 TOP_K = 10
 ITERS = 3
@@ -319,8 +320,16 @@ def main():
         if isinstance(scost, (list, tuple)):
             scost = scost[0]
         serve_flops = float(scost.get("flops", 0.0)) or None
+        # HBM-roofline numerator: XLA's per-op operand+output byte count of
+        # the exact-XLA twin — the serve is gather/bandwidth-bound (D=128
+        # matmuls sit at ~64 FLOP/B, far left of the ~250 ridge;
+        # BENCHMARKS.md probe_cct_parts), so the meaningful "how close to
+        # light speed" figure is achieved GB/s vs the 819 GB/s v5e HBM
+        # peak, not MFU.
+        serve_bytes = float(scost.get("bytes accessed", 0.0)) or None
     except Exception as e:
         _log(f"production cost_analysis unavailable: {e}")
+        serve_bytes = None
     group = 10  # epochs per timed group (amortizes the ~30 ms drain)
     serve_groups = []
     for _ in range(ITERS):
@@ -348,6 +357,128 @@ def main():
         trunk_groups.append(time.perf_counter() - start)
     trunk_qps = NUM_POSES * group / min(trunk_groups)
 
+    # ---- Round-over-round scoreboard extras (VERDICT r3 next #5) --------
+    # Training-step timings (the 84.3/53.1 ms numbers previously only in
+    # probe scripts + prose) and the eval-retrieval query rate, all in the
+    # one JSON line so BENCH_r{N}.json tracks training regressions too.
+    # BENCH_TRAIN=0 skips (keeps bench usable when only serving matters).
+    train_ms = {}
+    eval_qps = None
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        import dataclasses
+
+        from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+
+        cfg_train = cfg.replace(
+            model=dataclasses.replace(m, dtype=m.train_dtype)
+        )
+        order = np.random.default_rng(1)
+        for stage in ("coarse", "fine"):
+            _log(f"train-step bench: {stage}")
+            t_rng = jax.random.PRNGKey(0)
+            opt = steps_lib.make_optimizer(cfg_train, steps_per_epoch=100)
+            if stage == "coarse":
+                smodel = CellRetrievalNetwork(cfg_train.model)
+                b0 = data.gather_coarse(
+                    np.arange(cfg_train.train.batch_size), m.object_size
+                )
+                objects, text = steps_lib.prepare_coarse_batch(
+                    b0, embedder, cfg_train, t_rng, train=False
+                )
+                st = steps_lib.init_train_state(smodel, opt, t_rng, objects, text)
+                tstep = jax.jit(
+                    steps_lib.make_coarse_train_step(
+                        smodel, embedder, cfg_train, opt
+                    ),
+                    donate_argnums=(0,),
+                )
+                gather = lambda i: data.gather_coarse(i, m.object_size)
+            else:
+                smodel = model if m.train_dtype == m.dtype else CrossMatch(
+                    cfg_train.model
+                )
+                b0 = data.gather_fine(
+                    np.arange(cfg_train.train.batch_size), m.pad_size
+                )
+                fb = steps_lib.prepare_fine_batch(
+                    b0, embedder, cfg_train, t_rng, train=False
+                )
+                st = steps_lib.init_train_state(smodel, opt, t_rng, fb.objects,
+                                                fb.text)
+                tstep = jax.jit(
+                    steps_lib.make_fine_train_step(
+                        smodel, embedder, cfg_train, opt
+                    ),
+                    donate_argnums=(0,),
+                )
+                gather = lambda i: data.gather_fine(i, m.pad_size)
+            bs = cfg_train.train.batch_size
+            tbatches = [
+                gather(order.choice(data.num_poses, bs, replace=False))
+                for _ in range(12)
+            ]
+            st, mt = tstep(st, tbatches[0], t_rng)      # compile
+            float(jax.device_get(mt["loss"]))
+            groups_ms = []
+            for i in range(0, 12, 4):                   # min-of-groups (relay drift)
+                t0 = time.perf_counter()
+                for b in tbatches[i:i + 4]:
+                    t_rng, srng = jax.random.split(t_rng)
+                    st, mt = tstep(st, b, srng)
+                float(jax.device_get(mt["loss"]))
+                groups_ms.append((time.perf_counter() - t0) / 4 * 1e3)
+            train_ms[stage] = round(min(groups_ms), 2)
+            _log(f"{stage} train {train_ms[stage]:.1f} ms/step")
+
+        # Eval-retrieval query rate: the reference's own eval-side timer
+        # scope ("Encoded N query texts in Xs", training/coarse.py:101) —
+        # query text encode + top-k against an already-encoded gallery.
+        _log("eval-retrieval bench")
+        from text2loc_tpu.evaluation.retrieval import (
+            encode_gallery,
+            topk_retrieval,
+        )
+        from text2loc_tpu.training.steps import make_coarse_encoders
+
+        cmodel = CellRetrievalNetwork(m)
+        cb = data.gather_coarse(np.arange(4), m.object_size)
+        cobjects, ctext = steps_lib.prepare_coarse_batch(
+            cb, embedder, cfg, rng, train=False
+        )
+        copt = steps_lib.make_optimizer(cfg, steps_per_epoch=1)
+        cstate = steps_lib.init_train_state(cmodel, copt, rng, cobjects, ctext)
+        encoders = make_coarse_encoders(cmodel, embedder, cfg)
+        gal = jnp.asarray(
+            encode_gallery(data, cstate, encoders[0], cfg, rng)
+        )
+        qb = jax.device_put({
+            "hint_dir": data.hint_dir[:NUM_POSES],
+            "hint_color": data.hint_color[:NUM_POSES],
+            "hint_label": data.hint_label[:NUM_POSES],
+            "sentence_mask": data.hint_mask[:NUM_POSES],
+        })
+
+        @jax.jit
+        def eval_epoch(params, stats, gal, qb):
+            enc = cmodel.apply(
+                {"params": params, "batch_stats": stats},
+                steps_lib.embed_text_batch(embedder, qb), train=False,
+                method=cmodel.encode_text,
+            )
+            return topk_retrieval(gal, enc, TOP_K)[1]
+
+        out = eval_epoch(cstate.params, cstate.batch_stats, gal, qb)
+        _drain(out)
+        egroups = []
+        for _ in range(ITERS):
+            start = time.perf_counter()
+            for _ in range(group):
+                out = eval_epoch(cstate.params, cstate.batch_stats, gal, qb)
+            _drain(out)
+            egroups.append(time.perf_counter() - start)
+        eval_qps = NUM_POSES * group / min(egroups)
+        _log(f"eval retrieval {eval_qps:.0f} q/s")
+
     result = {
         "metric": "fine_localization_throughput",
         "value": round(qps, 2),
@@ -361,6 +492,12 @@ def main():
         # sentence-table gather (serving's fallback for novel sentences).
         "prod_trunk_qps": round(trunk_qps, 2),
     }
+    if train_ms:
+        # f32 bodies, fused-SA "auto" defaults (training/steps.py), batch 32.
+        result["coarse_train_ms"] = train_ms.get("coarse")
+        result["fine_train_ms"] = train_ms.get("fine")
+    if eval_qps:
+        result["eval_retrieval_qps"] = round(eval_qps, 2)
     if flops_per_chunk:
         # Achieved model FLOP/s of the raw path vs the chip's bf16 peak
         # (v5e: 197 TFLOP/s). This replaces "fast vs an estimated torch rate"
@@ -372,6 +509,10 @@ def main():
         s_achieved = serve_flops * qps / NUM_POSES  # flops/epoch * epochs/s
         result["prod_tflops"] = round(s_achieved / 1e12, 2)
         result["prod_mfu"] = round(s_achieved / V5E_PEAK_FLOPS, 4)
+    if serve_bytes:
+        b_achieved = serve_bytes * qps / NUM_POSES  # bytes/epoch * epochs/s
+        result["prod_gbps"] = round(b_achieved / 1e9, 1)
+        result["prod_bw_frac"] = round(b_achieved / V5E_PEAK_BYTES, 4)
     print(json.dumps(result))
 
 

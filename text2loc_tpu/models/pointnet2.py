@@ -160,7 +160,9 @@ def fused_train_mesh(mesh, axis_name: str):
     identical to the GSPMD-XLA path). This is how the fused kernel
     coexists with a GSPMD DP train step: GSPMD cannot partition a Mosaic
     custom call, but a manual shard_map island inside the jitted program
-    can. Set by parallel/train._bind when TEXT2LOC_FUSED_SA_TRAIN_DP=1."""
+    can. Set by parallel/train._bind — the DEFAULT DP mode since the
+    1-device-mesh A/B measured the island -29% vs the XLA DP path on both
+    stages (BENCHMARKS.md log #15); TEXT2LOC_FUSED_SA_TRAIN_DP=0 opts out."""
     prev = _FUSED_TRAIN_MESH[0]
     _FUSED_TRAIN_MESH[0] = (mesh, axis_name)
     try:

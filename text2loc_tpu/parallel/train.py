@@ -49,19 +49,29 @@ def _bind(step: Callable, mesh: Mesh, axis_name: str) -> Callable:
     import os
 
     # The fused TRAINING SA kernel (a Mosaic custom call) cannot be
-    # auto-partitioned by GSPMD. Default: keep the DP trace on the XLA
-    # path. With TEXT2LOC_FUSED_SA_TRAIN_DP=1 the kernel instead runs
-    # as a shard_map island inside the jitted step (object batch
-    # sharded over the dp axis, BN statistics psum'd — global-batch
-    # semantics identical to GSPMD; equality tested on the virtual
-    # CPU mesh in tests/test_parallel.py).
+    # auto-partitioned by GSPMD, so DP steps either fall back to the XLA SA
+    # path or run the kernel as a shard_map ISLAND inside the jitted step
+    # (object batch sharded over the dp axis, BN statistics psum'd —
+    # global-batch semantics identical to GSPMD; equality tested on the
+    # virtual CPU mesh in tests/test_parallel.py and in dryrun_multichip).
+    #
+    # DEFAULT: the island. Real-chip A/B on a 1-device mesh
+    # (scripts/probe_dp_island.py, BENCHMARKS.md log #15): island vs XLA-DP
+    # is coarse 81.8 vs 115.1 ms/step, fine 50.8 vs 72.0 (-29% both) — the
+    # island recovers the single-chip fused-auto speed, so a multi-chip
+    # user no longer pays the XLA path by default. Only the 1-device mesh
+    # is measurable on this hardware; the island's cross-chip additions are
+    # the tiny [8, H] BN-stat psums over ICI. TEXT2LOC_FUSED_SA_TRAIN_DP=0
+    # restores the XLA fallback. The island only changes the program where
+    # the fused TRAIN kernel is active at all (TPU f32 bodies, or
+    # "interpret"-mode tests) — elsewhere the context is inert.
     #
     # Read ONCE at bind time: the context managers only matter during
     # tracing, and `jitted` caches its first trace — re-reading the env per
     # call would LOOK like a live knob while silently reusing the first
     # call's program (the stale-trace footgun CLAUDE.md documents for
     # env-knob A/Bs). Rebuild the step to change modes.
-    fused_dp = os.environ.get("TEXT2LOC_FUSED_SA_TRAIN_DP", "") not in ("", "0")
+    fused_dp = os.environ.get("TEXT2LOC_FUSED_SA_TRAIN_DP", "1") != "0"
 
     def run(state, batch, rng):
         if fused_dp:
