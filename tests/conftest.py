@@ -30,6 +30,41 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def run_cacheless_child(test_file: str, k: str, timeout: int = 1200) -> bool:
+    """Poisoned-CPU-AOT-cache workaround (shared by any test it bites).
+
+    On this stack CPU executables are AOT-compiled remotely for a different
+    host (the cpu_aot_loader feature-mismatch warning at import), and
+    RELOADING some cached serialized CPU programs aborts the interpreter
+    outright ("Fatal Python error: Aborted"). Known offenders: the fused-SA
+    DP-island program (round 3, 3/3 crash cached vs 3/3 pass fresh) and the
+    plain GSPMD DP train-step program of the preemption drill (round 4, same
+    deterministic signature) — so this is NOT island-specific; any donated
+    GSPMD train program can join. Affected tests re-enter themselves in a
+    subprocess with the persistent compilation cache disabled.
+
+    Returns True in the child (caller proceeds to run the real test body);
+    in the parent it spawns `pytest test_file -k k` with the cache off,
+    asserts it passed, and returns False (caller just returns).
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("TEXT2LOC_CACHELESS_CHILD") == "1":
+        return True
+    env = dict(os.environ)
+    env["TEXT2LOC_CACHELESS_CHILD"] = "1"
+    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", test_file, "-q", "-k", k],
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"cacheless child failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    )
+    return False
+
+
 @pytest.fixture(scope="session")
 def small_cfg():
     from text2loc_tpu.config import small_test_config

@@ -131,28 +131,12 @@ def test_dp_coarse_step_with_fused_sa_island(
     the same batch ("interpret" forces the kernels on the CPU backend).
 
     Runs in a SUBPROCESS with the persistent compilation cache DISABLED:
-    on this stack CPU executables are AOT-compiled remotely for a different
-    host (the cpu_aot_loader feature-mismatch warning at import), and
-    RELOADING this particular serialized program aborts the interpreter
-    (measured 3/3 crash with the cache on vs 3/3 pass with it off; fresh
-    compiles execute fine). The child is this same test re-entered with
-    TEXT2LOC_ISLAND_CHILD=1."""
-    import os
-    import subprocess
-    import sys
+    reloading this serialized program from the cache aborts the interpreter
+    (measured 3/3 crash cached vs 3/3 pass fresh) — the poisoned-CPU-AOT-
+    cache issue, see conftest.run_cacheless_child."""
+    from conftest import run_cacheless_child
 
-    if os.environ.get("TEXT2LOC_ISLAND_CHILD") != "1":
-        env = dict(os.environ)
-        env["TEXT2LOC_ISLAND_CHILD"] = "1"
-        env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", __file__, "-q", "-k",
-             "fused_sa_island"],
-            env=env, capture_output=True, text=True, timeout=900,
-        )
-        assert proc.returncode == 0, (
-            f"island child failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
-        )
+    if not run_cacheless_child(__file__, "fused_sa_island", timeout=900):
         return
 
     monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "interpret")

@@ -53,7 +53,19 @@ def _batches(data, cfg, n):
 def test_dp_preemption_resume_bitwise(small_cfg, small_embedder, small_data,
                                       tmp_path):
     """save -> kill -> restore -> re-replicate -> resume reproduces the
-    uninterrupted DP loss trajectory bit for bit."""
+    uninterrupted DP loss trajectory bit for bit.
+
+    Runs in a cache-disabled SUBPROCESS: reloading this DP train-step
+    program from the persistent compile cache aborts the interpreter
+    (the poisoned-CPU-AOT-cache issue — see conftest.run_cacheless_child;
+    first seen on the fused-SA island program, and this plain GSPMD
+    program joined in round 4: warm-cache rerun 134/SIGABRT at the first
+    step's device_get, cacheless rerun passes)."""
+    from conftest import run_cacheless_child
+
+    if not run_cacheless_child(__file__, "test_dp_preemption_resume_bitwise"):
+        return
+
     import dataclasses
 
     from text2loc_tpu.utils.checkpoint import CheckpointManager
