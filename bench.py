@@ -48,6 +48,137 @@ ITERS = 3
 CHUNK = int(os.environ.get("BENCH_CHUNK", "128"))
 
 
+def _scoreboard_bench(data, embedder, cfg, rng, _drain):
+    """Train-step + eval-retrieval timings for the round-over-round JSON.
+
+    Called BEFORE the serving sections stage their device buffers: the same
+    cached train-step executables read ~55% slower with the serve's ~2 GB of
+    chunks/galleries resident (the "host contention" footnote in BENCHMARKS
+    log #15), and these numbers exist to track *training* regressions.
+    """
+    import dataclasses
+
+    import jax
+
+    from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
+    from text2loc_tpu.models.cross_matcher import CrossMatch
+    from text2loc_tpu.training import steps as steps_lib
+
+    m = cfg.model
+    train_ms = {}
+    cfg_train = cfg.replace(
+        model=dataclasses.replace(m, dtype=m.train_dtype)
+    )
+    order = np.random.default_rng(1)
+    for stage in ("coarse", "fine"):
+        _log(f"train-step bench: {stage}")
+        t_rng = jax.random.PRNGKey(0)
+        opt = steps_lib.make_optimizer(cfg_train, steps_per_epoch=100)
+        if stage == "coarse":
+            smodel = CellRetrievalNetwork(cfg_train.model)
+            b0 = data.gather_coarse(
+                np.arange(cfg_train.train.batch_size), m.object_size
+            )
+            objects, text = steps_lib.prepare_coarse_batch(
+                b0, embedder, cfg_train, t_rng, train=False
+            )
+            st = steps_lib.init_train_state(smodel, opt, t_rng, objects, text)
+            tstep = jax.jit(
+                steps_lib.make_coarse_train_step(
+                    smodel, embedder, cfg_train, opt
+                ),
+                donate_argnums=(0,),
+            )
+            gather = lambda i: data.gather_coarse(i, m.object_size)
+        else:
+            smodel = CrossMatch(cfg_train.model)
+            b0 = data.gather_fine(
+                np.arange(cfg_train.train.batch_size), m.pad_size
+            )
+            fb = steps_lib.prepare_fine_batch(
+                b0, embedder, cfg_train, t_rng, train=False
+            )
+            st = steps_lib.init_train_state(smodel, opt, t_rng, fb.objects,
+                                            fb.text)
+            tstep = jax.jit(
+                steps_lib.make_fine_train_step(
+                    smodel, embedder, cfg_train, opt
+                ),
+                donate_argnums=(0,),
+            )
+            gather = lambda i: data.gather_fine(i, m.pad_size)
+        bs = cfg_train.train.batch_size
+        tbatches = [
+            gather(order.choice(data.num_poses, bs, replace=False))
+            for _ in range(12)
+        ]
+        st, mt = tstep(st, tbatches[0], t_rng)      # compile
+        float(jax.device_get(mt["loss"]))
+        groups_ms = []
+        for i in range(0, 12, 4):                   # min-of-groups (relay drift)
+            t0 = time.perf_counter()
+            for b in tbatches[i:i + 4]:
+                t_rng, srng = jax.random.split(t_rng)
+                st, mt = tstep(st, b, srng)
+            float(jax.device_get(mt["loss"]))
+            groups_ms.append((time.perf_counter() - t0) / 4 * 1e3)
+        train_ms[stage] = round(min(groups_ms), 2)
+        _log(f"{stage} train {train_ms[stage]:.1f} ms/step")
+
+    # Eval-retrieval query rate: the reference's own eval-side timer
+    # scope ("Encoded N query texts in Xs", training/coarse.py:101) —
+    # query text encode + top-k against an already-encoded gallery.
+    _log("eval-retrieval bench")
+    import jax.numpy as jnp
+
+    from text2loc_tpu.evaluation.retrieval import (
+        encode_gallery,
+        topk_retrieval,
+    )
+    from text2loc_tpu.training.steps import make_coarse_encoders
+
+    cmodel = CellRetrievalNetwork(m)
+    cb = data.gather_coarse(np.arange(4), m.object_size)
+    cobjects, ctext = steps_lib.prepare_coarse_batch(
+        cb, embedder, cfg, rng, train=False
+    )
+    copt = steps_lib.make_optimizer(cfg, steps_per_epoch=1)
+    cstate = steps_lib.init_train_state(cmodel, copt, rng, cobjects, ctext)
+    encoders = make_coarse_encoders(cmodel, embedder, cfg)
+    gal = jnp.asarray(
+        encode_gallery(data, cstate, encoders[0], cfg, rng)
+    )
+    qb = jax.device_put({
+        "hint_dir": data.hint_dir[:NUM_POSES],
+        "hint_color": data.hint_color[:NUM_POSES],
+        "hint_label": data.hint_label[:NUM_POSES],
+        "sentence_mask": data.hint_mask[:NUM_POSES],
+    })
+
+    @jax.jit
+    def eval_epoch(params, stats, gal, qb):
+        enc = cmodel.apply(
+            {"params": params, "batch_stats": stats},
+            steps_lib.embed_text_batch(embedder, qb), train=False,
+            method=cmodel.encode_text,
+        )
+        return topk_retrieval(gal, enc, TOP_K)[1]
+
+    group = 10  # epochs per timed group (amortizes the ~30 ms drain)
+    out = eval_epoch(cstate.params, cstate.batch_stats, gal, qb)
+    _drain(out)
+    egroups = []
+    for _ in range(ITERS):
+        start = time.perf_counter()
+        for _ in range(group):
+            out = eval_epoch(cstate.params, cstate.batch_stats, gal, qb)
+        _drain(out)
+        egroups.append(time.perf_counter() - start)
+    eval_qps = NUM_POSES * group / min(egroups)
+    _log(f"eval retrieval {eval_qps:.0f} q/s")
+    return train_ms, eval_qps
+
+
 def main():
     import jax
 
@@ -87,6 +218,28 @@ def main():
     data = MultiSceneArrays([scene])
 
     rng = jax.random.PRNGKey(0)
+
+    import jax.numpy as jnp
+
+    def _drain(x):
+        np.asarray(jnp.sum(x))  # block_until_ready can return early (relay)
+
+    # ---- Round-over-round scoreboard extras (VERDICT r3 next #5) --------
+    # Training-step timings (the 84.3/53.1 ms numbers previously only in
+    # probe scripts + prose) and the eval-retrieval query rate, all in the
+    # one JSON line so BENCH_r{N}.json tracks training regressions too.
+    # Runs FIRST, on a quiet device: with the serving sections' ~2 GB of
+    # staged chunks + gallery caches resident, the same jitted steps read
+    # ~55% slower (131/94 ms vs 84/53 — the "host contention" footnote in
+    # BENCHMARKS log #15 is this effect), which would mis-report a training
+    # regression that doesn't exist in real training processes.
+    # BENCH_TRAIN=0 skips (keeps bench usable when only serving matters).
+    train_ms = {}
+    eval_qps = None
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        train_ms, eval_qps = _scoreboard_bench(
+            data, embedder, cfg, rng, _drain
+        )
     # Each pose against TOP_K candidate cells, flattened (the batched
     # replacement for the reference's per-pose loop, pipeline.py:112-126).
     pose_idx = np.repeat(np.arange(NUM_POSES), TOP_K)
@@ -181,11 +334,6 @@ def main():
 
     # The relay/tunnel adds run-to-run noise; time each epoch separately and
     # take the fastest (the standard clean-hardware estimate).
-    def _drain(x):
-        np.asarray(jnp.sum(x))  # block_until_ready can return early (relay)
-
-    import jax.numpy as jnp
-
     raw_epochs = []
     with profile_trace(profile_dir):
         for _ in range(ITERS):
@@ -356,128 +504,6 @@ def main():
         _drain(out)
         trunk_groups.append(time.perf_counter() - start)
     trunk_qps = NUM_POSES * group / min(trunk_groups)
-
-    # ---- Round-over-round scoreboard extras (VERDICT r3 next #5) --------
-    # Training-step timings (the 84.3/53.1 ms numbers previously only in
-    # probe scripts + prose) and the eval-retrieval query rate, all in the
-    # one JSON line so BENCH_r{N}.json tracks training regressions too.
-    # BENCH_TRAIN=0 skips (keeps bench usable when only serving matters).
-    train_ms = {}
-    eval_qps = None
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
-        import dataclasses
-
-        from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
-
-        cfg_train = cfg.replace(
-            model=dataclasses.replace(m, dtype=m.train_dtype)
-        )
-        order = np.random.default_rng(1)
-        for stage in ("coarse", "fine"):
-            _log(f"train-step bench: {stage}")
-            t_rng = jax.random.PRNGKey(0)
-            opt = steps_lib.make_optimizer(cfg_train, steps_per_epoch=100)
-            if stage == "coarse":
-                smodel = CellRetrievalNetwork(cfg_train.model)
-                b0 = data.gather_coarse(
-                    np.arange(cfg_train.train.batch_size), m.object_size
-                )
-                objects, text = steps_lib.prepare_coarse_batch(
-                    b0, embedder, cfg_train, t_rng, train=False
-                )
-                st = steps_lib.init_train_state(smodel, opt, t_rng, objects, text)
-                tstep = jax.jit(
-                    steps_lib.make_coarse_train_step(
-                        smodel, embedder, cfg_train, opt
-                    ),
-                    donate_argnums=(0,),
-                )
-                gather = lambda i: data.gather_coarse(i, m.object_size)
-            else:
-                smodel = model if m.train_dtype == m.dtype else CrossMatch(
-                    cfg_train.model
-                )
-                b0 = data.gather_fine(
-                    np.arange(cfg_train.train.batch_size), m.pad_size
-                )
-                fb = steps_lib.prepare_fine_batch(
-                    b0, embedder, cfg_train, t_rng, train=False
-                )
-                st = steps_lib.init_train_state(smodel, opt, t_rng, fb.objects,
-                                                fb.text)
-                tstep = jax.jit(
-                    steps_lib.make_fine_train_step(
-                        smodel, embedder, cfg_train, opt
-                    ),
-                    donate_argnums=(0,),
-                )
-                gather = lambda i: data.gather_fine(i, m.pad_size)
-            bs = cfg_train.train.batch_size
-            tbatches = [
-                gather(order.choice(data.num_poses, bs, replace=False))
-                for _ in range(12)
-            ]
-            st, mt = tstep(st, tbatches[0], t_rng)      # compile
-            float(jax.device_get(mt["loss"]))
-            groups_ms = []
-            for i in range(0, 12, 4):                   # min-of-groups (relay drift)
-                t0 = time.perf_counter()
-                for b in tbatches[i:i + 4]:
-                    t_rng, srng = jax.random.split(t_rng)
-                    st, mt = tstep(st, b, srng)
-                float(jax.device_get(mt["loss"]))
-                groups_ms.append((time.perf_counter() - t0) / 4 * 1e3)
-            train_ms[stage] = round(min(groups_ms), 2)
-            _log(f"{stage} train {train_ms[stage]:.1f} ms/step")
-
-        # Eval-retrieval query rate: the reference's own eval-side timer
-        # scope ("Encoded N query texts in Xs", training/coarse.py:101) —
-        # query text encode + top-k against an already-encoded gallery.
-        _log("eval-retrieval bench")
-        from text2loc_tpu.evaluation.retrieval import (
-            encode_gallery,
-            topk_retrieval,
-        )
-        from text2loc_tpu.training.steps import make_coarse_encoders
-
-        cmodel = CellRetrievalNetwork(m)
-        cb = data.gather_coarse(np.arange(4), m.object_size)
-        cobjects, ctext = steps_lib.prepare_coarse_batch(
-            cb, embedder, cfg, rng, train=False
-        )
-        copt = steps_lib.make_optimizer(cfg, steps_per_epoch=1)
-        cstate = steps_lib.init_train_state(cmodel, copt, rng, cobjects, ctext)
-        encoders = make_coarse_encoders(cmodel, embedder, cfg)
-        gal = jnp.asarray(
-            encode_gallery(data, cstate, encoders[0], cfg, rng)
-        )
-        qb = jax.device_put({
-            "hint_dir": data.hint_dir[:NUM_POSES],
-            "hint_color": data.hint_color[:NUM_POSES],
-            "hint_label": data.hint_label[:NUM_POSES],
-            "sentence_mask": data.hint_mask[:NUM_POSES],
-        })
-
-        @jax.jit
-        def eval_epoch(params, stats, gal, qb):
-            enc = cmodel.apply(
-                {"params": params, "batch_stats": stats},
-                steps_lib.embed_text_batch(embedder, qb), train=False,
-                method=cmodel.encode_text,
-            )
-            return topk_retrieval(gal, enc, TOP_K)[1]
-
-        out = eval_epoch(cstate.params, cstate.batch_stats, gal, qb)
-        _drain(out)
-        egroups = []
-        for _ in range(ITERS):
-            start = time.perf_counter()
-            for _ in range(group):
-                out = eval_epoch(cstate.params, cstate.batch_stats, gal, qb)
-            _drain(out)
-            egroups.append(time.perf_counter() - start)
-        eval_qps = NUM_POSES * group / min(egroups)
-        _log(f"eval retrieval {eval_qps:.0f} q/s")
 
     result = {
         "metric": "fine_localization_throughput",
