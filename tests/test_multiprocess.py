@@ -157,14 +157,26 @@ def _wait(proc, tag, timeout=900):
 
 def test_two_process_dp_matches_single_process(tmp_path):
     """2-process DP (4 local devices each, Gloo collectives) reproduces the
-    single-process 8-device DP loss trajectory and final params."""
-    # Reference: one process, all 8 devices.
+    single-process 8-device DP loss trajectory and final params.
+
+    Re-enters via run_cacheless_child so the whole cluster drill overlaps
+    the rest of the suite (the parent body only spawns and waits; the
+    children disable the compile cache themselves either way)."""
+    from conftest import run_cacheless_child
+
+    if not run_cacheless_child(__file__, "two_process"):
+        return
+
+    # All three children run CONCURRENTLY — the single-process reference is
+    # independent of the 2-process cluster, and each child spends most of
+    # its time waiting on the remote compile tunnel, not on the CPU.
     ref_out = str(tmp_path / "ref.json")
-    _wait(_spawn(1, 0, 0, ref_out, local_devices=8), "single-process ref")
+    ref_proc = _spawn(1, 0, 0, ref_out, local_devices=8)
 
     port = _free_port()
     outs = [str(tmp_path / f"mp{p}.json") for p in range(2)]
     procs = [_spawn(2, p, port, outs[p], local_devices=4) for p in range(2)]
+    _wait(ref_proc, "single-process ref")
     for p, proc in enumerate(procs):
         _wait(proc, f"distributed proc {p}")
 

@@ -132,8 +132,8 @@ def test_dp_coarse_step_with_fused_sa_island(
 
     Runs in a SUBPROCESS with the persistent compilation cache DISABLED:
     reloading this serialized program from the cache aborts the interpreter
-    (measured 3/3 crash cached vs 3/3 pass fresh) — the poisoned-CPU-AOT-
-    cache issue, see conftest.run_cacheless_child."""
+    (flaky, roughly 3-of-5 warm-cache runs in the round-4 measurement) —
+    the poisoned-CPU-AOT-cache issue, see conftest.run_cacheless_child."""
     from conftest import run_cacheless_child
 
     if not run_cacheless_child(__file__, "fused_sa_island", timeout=900):
