@@ -38,7 +38,12 @@ def _log(msg: str) -> None:
 ESTIMATED_REFERENCE_QPS = 20.0  # see module docstring
 V5E_PEAK_FLOPS = 197e12         # TPU v5e bf16 peak per chip
 V5E_PEAK_BYTES = 819e9          # TPU v5e HBM bandwidth per chip (819 GB/s)
-NUM_POSES = int(os.environ.get("BENCH_POSES", "256"))  # serving-batch poses
+# Serving-batch poses. The production serve's per-dispatch overhead
+# amortizes with batch: 256 -> 53.7k q/s, 512 -> 78.7k, 1024 -> 98.5k,
+# 2048 -> 113.8k measured round 4 (BENCHMARKS log #16). Default is 1024
+# (10 ms batch latency, plateau knee, keeps cold bench well under the
+# ~8 min budget); BENCH_POSES overrides for the curve or quick runs.
+NUM_POSES = int(os.environ.get("BENCH_POSES", "1024"))
 TOP_K = 10
 ITERS = 3
 # Flattened candidates per device batch on the raw (recompute) path. The
@@ -473,7 +478,12 @@ def main():
         # matmuls sit at ~64 FLOP/B, far left of the ~250 ridge;
         # BENCHMARKS.md probe_cct_parts), so the meaningful "how close to
         # light speed" figure is achieved GB/s vs the 819 GB/s v5e HBM
-        # peak, not MFU.
+        # peak, not MFU. CAVEAT: this is LOGICAL bytes — an upper bound on
+        # physical HBM traffic, since fusion keeps re-read operands on-chip.
+        # prod_bw_frac > 1 (measured 1.74 at 2048-pose batches, BENCHMARKS
+        # log #16) therefore means the program's true traffic is below the
+        # model and the naive byte roofline is no longer the binding
+        # constraint at that batch, NOT >100% of the hardware.
         serve_bytes = float(scost.get("bytes accessed", 0.0)) or None
     except Exception as e:
         _log(f"production cost_analysis unavailable: {e}")
