@@ -90,9 +90,10 @@ def test_dp_preemption_resume_bitwise(small_cfg, small_embedder, small_data,
 
     # Interrupted run: KILL_AFTER steps, checkpoint, die.
     state = ptrain.replicate_state(state0, mesh)
+    pre_losses = []
     for b in host_batches[:KILL_AFTER]:
         state, m = step(state, shard_batch(b, mesh), rng)
-        pre_losses = [float(jax.device_get(m["loss"]))]
+        pre_losses.append(float(jax.device_get(m["loss"])))
     mgr = CheckpointManager(str(tmp_path / "ck"))
     # device_get of a mesh-REPLICATED state (every leaf lives on 8 devices)
     # must serialize cleanly — this is the production save path.
@@ -119,7 +120,9 @@ def test_dp_preemption_resume_bitwise(small_cfg, small_embedder, small_data,
     np.testing.assert_array_equal(
         np.asarray(resumed_losses), np.asarray(ref_losses[KILL_AFTER:])
     )
-    assert np.isfinite(pre_losses).all()
+    np.testing.assert_array_equal(
+        np.asarray(pre_losses), np.asarray(ref_losses[:KILL_AFTER])
+    )
 
 
 def test_multihost_assembly_contract(small_cfg, small_data):
