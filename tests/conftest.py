@@ -97,6 +97,8 @@ def run_cacheless_child(test_file: str, k: str, timeout: int = 1200) -> bool:
 _CACHELESS_TESTS = {
     "test_preemption.py::test_dp_preemption_resume_bitwise":
         ("test_preemption.py", "test_dp_preemption_resume_bitwise"),
+    "test_preemption.py::test_elastic_resume_across_mesh_sizes":
+        ("test_preemption.py", "elastic_resume"),
     "test_parallel.py::test_dp_coarse_step_with_fused_sa_island":
         ("test_parallel.py", "fused_sa_island"),
     "test_multiprocess.py::test_two_process_dp_matches_single_process":

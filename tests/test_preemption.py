@@ -125,6 +125,79 @@ def test_dp_preemption_resume_bitwise(small_cfg, small_embedder, small_data,
     )
 
 
+def test_elastic_resume_across_mesh_sizes(small_cfg, small_embedder,
+                                          small_data, tmp_path):
+    """Elastic recovery (SURVEY §5.3): a checkpoint taken mid-run on an
+    8-device DP mesh resumes on a 4-DEVICE mesh and reproduces the 8-device
+    loss trajectory.
+
+    This works by construction — the checkpoint is a host-resident unsharded
+    TrainState (device_get of the replicated leaves) and `replicate_state`
+    re-replicates onto whatever mesh exists at restore time; the global
+    batch and the psum'd statistics are mesh-size-invariant. Equality is
+    float-tolerance, not bitwise: a 4-way reduction orders adds differently
+    than an 8-way one (same gate structure as the 2-process cluster test,
+    tests/test_multiprocess.py).
+
+    Cacheless child: compiles DP train-step programs (the poisoned-AOT-cache
+    offender class)."""
+    from conftest import run_cacheless_child
+
+    if not run_cacheless_child(__file__, "elastic_resume"):
+        return
+
+    import dataclasses
+
+    from text2loc_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = small_cfg.replace(
+        train=dataclasses.replace(small_cfg.train, batch_size=8)
+    )
+    embedder, data = small_embedder, small_data
+    rng = jax.random.PRNGKey(7)
+    host_batches = _batches(data, cfg, N_STEPS)
+
+    # Uninterrupted 8-device reference.
+    model, optimizer, state0 = _setup(cfg, embedder, data)
+    mesh8 = make_mesh(8)
+    step8 = ptrain.make_dp_coarse_train_step(model, embedder, cfg, optimizer,
+                                             mesh8)
+    state = ptrain.replicate_state(state0, mesh8)
+    ref_losses = []
+    for b in host_batches:
+        state, m = step8(state, shard_batch(b, mesh8), rng)
+        ref_losses.append(float(jax.device_get(m["loss"])))
+
+    # Interrupted 8-device run: checkpoint, then "lose half the slice".
+    state = ptrain.replicate_state(state0, mesh8)
+    for b in host_batches[:KILL_AFTER]:
+        state, _ = step8(state, shard_batch(b, mesh8), rng)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    assert mgr.save(KILL_AFTER, state, metric=0.0)
+    mgr.close()
+    del state, step8
+
+    # Resume the SAME global computation on a 4-device mesh.
+    model, optimizer, fresh = _setup(cfg, embedder, data)
+    mgr2 = CheckpointManager(str(tmp_path / "ck"))
+    restored = mgr2.restore(fresh)
+    mgr2.close()
+    assert int(restored.step) == KILL_AFTER
+    mesh4 = make_mesh(4)
+    step4 = ptrain.make_dp_coarse_train_step(model, embedder, cfg, optimizer,
+                                             mesh4)
+    state = ptrain.replicate_state(restored, mesh4)
+    resumed = []
+    for b in host_batches[KILL_AFTER:]:
+        state, m = step4(state, shard_batch(b, mesh4), rng)
+        resumed.append(float(jax.device_get(m["loss"])))
+
+    np.testing.assert_allclose(resumed[0], ref_losses[KILL_AFTER],
+                               rtol=1e-5)
+    np.testing.assert_allclose(resumed, ref_losses[KILL_AFTER:], rtol=1e-3)
+    assert np.isfinite(resumed).all()
+
+
 def test_multihost_assembly_contract(small_cfg, small_data):
     """shard_batch_multihost's layout contract, simulated: in a P-process
     run, process p supplies global rows [p*B/P, (p+1)*B/P) and the runtime
