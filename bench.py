@@ -72,7 +72,13 @@ def _scoreboard_bench(data, embedder, cfg, rng, _drain):
     m = cfg.model
     train_ms = {}
     cfg_train = cfg.replace(
-        model=dataclasses.replace(m, dtype=m.train_dtype)
+        model=dataclasses.replace(m, dtype=m.train_dtype),
+        # A quick run (BENCH_POSES < the default batch 32) must not crash
+        # the whole bench on choice(replace=False); clamp like the serving
+        # sections pad-by-wrapping.
+        train=dataclasses.replace(
+            cfg.train, batch_size=min(cfg.train.batch_size, data.num_poses)
+        ),
     )
     order = np.random.default_rng(1)
     for stage in ("coarse", "fine"):

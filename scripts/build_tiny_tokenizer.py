@@ -23,9 +23,6 @@ from __future__ import annotations
 import json
 import os
 
-VOCAB_SIZE = 512
-
-
 def corpus():
     """Every canonical hint sentence + every paraphrase template variant."""
     from text2loc_tpu import constants as C

@@ -38,7 +38,7 @@ def test_backlog_coalesces_into_one_dispatch(localizer, small_data):
 
     assert fe.stats.dispatches == 1
     assert fe.stats.requests == 5
-    assert fe.stats.group_sizes == [5]
+    assert list(fe.stats.group_sizes) == [5]
 
     direct = localizer.localize(
         small_data.hint_dir[q], small_data.hint_color[q],
@@ -63,7 +63,7 @@ def test_batchmate_independence(localizer, small_data):
     fe.start()
     grouped = [f.result(timeout=300) for f in futures]
     fe.close()
-    assert fe.stats.group_sizes == [8]
+    assert list(fe.stats.group_sizes) == [8]
 
     for i in (0, 3, 7):
         solo = localizer.localize(
@@ -135,6 +135,93 @@ def test_text_front_door_and_mixed_kinds(localizer, small_data):
     np.testing.assert_allclose(r_text.position_w, direct.position_w[0],
                                atol=1e-3)
     assert r_trip.position_w.shape == (2,)
+
+
+def test_ragged_hint_counts_batch_together(localizer, small_data):
+    """Clients with DIFFERENT hint counts coalesce into one dispatch: every
+    query is padded to the MODEL's native hint slot count with masked (0,0,0)
+    slots (the text.parse_descriptions convention) — one constant sentence
+    shape, no mid-serve recompiles — so the short query's result must match
+    serving it alone (different bucket/program => float tolerance)."""
+    s_full = small_data.hint_dir.shape[1]
+    short = 2
+    fe = BatchingFrontend(localizer, max_batch=8, max_wait_s=0.5, start=False)
+    f_long = fe.submit(*_query(small_data, 0))
+    f_short = fe.submit(
+        small_data.hint_dir[1][:short], small_data.hint_color[1][:short],
+        small_data.hint_label[1][:short],
+    )
+    fe.start()
+    r_long = f_long.result(timeout=300)
+    r_short = f_short.result(timeout=300)
+    fe.close()
+    assert fe.stats.dispatches == 1
+    assert list(fe.stats.group_sizes) == [2]
+
+    mask = np.zeros((1, s_full), bool)
+    mask[0, :short] = True
+    pad = np.zeros((1, s_full - short), np.int32)
+    solo = localizer.localize(
+        np.concatenate([small_data.hint_dir[1:2, :short], pad], axis=1),
+        np.concatenate([small_data.hint_color[1:2, :short], pad], axis=1),
+        np.concatenate([small_data.hint_label[1:2, :short], pad], axis=1),
+        sentence_mask=mask,
+    )
+    np.testing.assert_array_equal(r_short.cell_indices, solo.cell_indices[0])
+    np.testing.assert_allclose(r_short.position_w, solo.position_w[0],
+                               atol=1e-3)
+    np.testing.assert_allclose(r_short.scores, solo.scores[0], atol=1e-4)
+
+    solo_long = localizer.localize(
+        small_data.hint_dir[0:1], small_data.hint_color[0:1],
+        small_data.hint_label[0:1],
+    )
+    np.testing.assert_array_equal(r_long.cell_indices,
+                                  solo_long.cell_indices[0])
+    np.testing.assert_allclose(r_long.position_w, solo_long.position_w[0],
+                               atol=1e-3)
+
+
+def test_bad_request_does_not_poison_batchmates(localizer, small_data):
+    """A group containing one unparseable description fails ONLY that
+    client: the dispatcher retries the failed group per-request, so the
+    valid batchmate still gets its result (and the invalid one gets the
+    parse error, not a batch-shaped mystery)."""
+    d_good = " ".join(
+        C.render_hint(small_data.hint_dir[0][s], small_data.hint_color[0][s],
+                      small_data.hint_label[0][s])
+        for s in range(small_data.hint_dir.shape[1])
+    )
+    fe = BatchingFrontend(localizer, max_batch=8, max_wait_s=0.5, start=False)
+    f_good = fe.submit_text(d_good)
+    f_bad = fe.submit_text("utter gibberish that parses to nothing")
+    fe.start()
+    r_good = f_good.result(timeout=300)
+    with pytest.raises(Exception):
+        f_bad.result(timeout=300)
+    fe.close()
+
+    direct = localizer.localize_text([d_good])
+    np.testing.assert_array_equal(r_good.cell_indices,
+                                  direct.cell_indices[0])
+    # 1 group dispatch (failed) + 2 isolation retries.
+    assert fe.stats.dispatches == 3
+    assert fe.stats.requests == 2
+
+
+def test_submit_validates_triple_shapes(localizer, small_data):
+    """Mismatched hint arrays fail the CALLER at submit time instead of
+    poisoning a dispatch group."""
+    fe = BatchingFrontend(localizer, max_batch=4, start=False)
+    with pytest.raises(ValueError, match="hint_color"):
+        fe.submit(small_data.hint_dir[0], small_data.hint_color[0][:-1],
+                  small_data.hint_label[0])
+    with pytest.raises(ValueError, match="sentence_mask"):
+        fe.submit(small_data.hint_dir[0], small_data.hint_color[0],
+                  small_data.hint_label[0],
+                  sentence_mask=np.ones(2, bool))
+    assert fe.stats.requests == 0
+    fe.close()
 
 
 def test_close_and_error_paths(localizer, small_data):

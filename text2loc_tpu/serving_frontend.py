@@ -36,9 +36,10 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from collections import deque
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import Deque, List, Optional
 
 import numpy as np
 
@@ -48,19 +49,41 @@ _TRIPLE = "triple"
 _TEXT = "text"
 
 
+def _complete(future: Future, result) -> None:
+    """set_result tolerant of client-side cancellation / shutdown races."""
+    try:
+        future.set_result(result)
+    except InvalidStateError:
+        pass
+
+
+def _fail(future: Future, exc: BaseException) -> None:
+    """set_exception tolerant of already-completed/cancelled futures."""
+    try:
+        future.set_exception(exc)
+    except InvalidStateError:
+        pass
+
+
 @dataclass
 class FrontendStats:
     """Observability counters (read under the dispatcher's own updates —
-    plain ints, monotone, safe to read without a lock for monitoring)."""
+    plain ints, monotone, safe to read without a lock for monitoring).
+    `group_sizes` keeps only the most recent dispatches (bounded deque) so a
+    long-running server doesn't leak; the lifetime mean comes from the
+    monotone counters instead."""
 
     requests: int = 0
     dispatches: int = 0
     rows_dispatched: int = 0
-    group_sizes: List[int] = field(default_factory=list)
+    group_sizes: Deque[int] = field(
+        default_factory=lambda: deque(maxlen=4096)
+    )
 
     @property
     def mean_group_size(self) -> float:
-        return float(np.mean(self.group_sizes)) if self.group_sizes else 0.0
+        return (self.rows_dispatched / self.dispatches
+                if self.dispatches else 0.0)
 
 
 class _Request:
@@ -122,6 +145,15 @@ class BatchingFrontend:
             np.asarray(hint_label),
             np.asarray(sentence_mask, bool),
         )
+        # Malformed triples must fail THIS caller at submit time, not the
+        # whole micro-batch at dispatch time.
+        for name, a in zip(("hint_color", "hint_label", "sentence_mask"),
+                           payload[1:]):
+            if a.shape != hint_dir.shape:
+                raise ValueError(
+                    f"{name} shape {a.shape} != hint_dir shape "
+                    f"{hint_dir.shape}"
+                )
         return self._enqueue(_Request(_TRIPLE, payload))
 
     def submit_text(self, description: str) -> Future:
@@ -157,22 +189,34 @@ class BatchingFrontend:
 
     def close(self, timeout: Optional[float] = 30.0):
         """Drain the queue, stop the dispatcher. Idempotent. Requests
-        submitted after close() fail fast."""
+        submitted after close() fail fast. If the dispatcher is still inside
+        a device call when `timeout` expires (e.g. a minutes-long cold
+        compile), the thread is left to finish its group and exit on the
+        shutdown sentinel — pass timeout=None to block until then."""
         if self._closed:
             return
         self._closed = True
-        if self._thread is not None:
+        thread = self._thread
+        if thread is not None:
             self._queue.put(None)
-            self._thread.join(timeout)
-            self._thread = None
-        # Fail any stragglers enqueued concurrently with shutdown.
+            thread.join(timeout)
+            if not thread.is_alive():
+                self._thread = None
+        # Fail any stragglers enqueued concurrently with shutdown. If the
+        # dispatcher outlived the join timeout, its shutdown sentinel may
+        # still be queued — put it back so the thread terminates instead of
+        # blocking in _queue.get() forever, and let IT fail the stragglers.
         while True:
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if req is not None:
-                req.future.set_exception(RuntimeError("frontend closed"))
+            if req is None:
+                if thread is not None and thread.is_alive():
+                    self._queue.put(None)
+                    break
+                continue
+            _fail(req.future, RuntimeError("frontend closed"))
 
     def __enter__(self):
         return self.start()
@@ -184,7 +228,14 @@ class BatchingFrontend:
     def _enqueue(self, req: _Request) -> Future:
         if self._closed:
             raise RuntimeError("frontend closed")
+        self.stats.requests += 1
         self._queue.put(req)
+        # close() may have set _closed and finished its straggler drain
+        # between the check above and the put; don't leave such a future
+        # pending forever (if the dispatcher races us and serves it anyway,
+        # _fail is a no-op on the completed future).
+        if self._closed:
+            _fail(req.future, RuntimeError("frontend closed"))
         return req.future
 
     def _drain_group(self) -> Optional[List[_Request]]:
@@ -213,34 +264,79 @@ class BatchingFrontend:
         while True:
             group = self._drain_group()
             if group is None:
-                return
+                break
             for kind in (_TRIPLE, _TEXT):
                 part = [r for r in group if r.kind == kind]
                 if part:
                     self._dispatch(kind, part)
+        # Shutdown: requests that were queued behind the sentinel (racing
+        # close()) must not hang forever.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                _fail(req.future, RuntimeError("frontend closed"))
 
-    def _dispatch(self, kind: str, part: List[_Request]):
-        self.stats.requests += len(part)
+    def _dispatch(self, kind: str, part: List[_Request],
+                  *, isolate_on_error: bool = True):
         self.stats.dispatches += 1
         self.stats.rows_dispatched += len(part)
         self.stats.group_sizes.append(len(part))
         try:
             if kind == _TRIPLE:
-                hd, hc, hl, sm = (np.stack(x) for x in
-                                  zip(*(r.payload for r in part)))
+                hd, hc, hl, sm = self._padded_triples(part)
                 res = self.localizer.localize(hd, hc, hl, sentence_mask=sm)
             else:
                 res = self.localizer.localize_text(
                     [r.payload for r in part]
                 )
         except Exception as e:  # noqa: BLE001 — every waiter must learn
-            for r in part:
-                r.future.set_exception(e)
+            if isolate_on_error and len(part) > 1:
+                # One bad request must not poison its batchmates (e.g. an
+                # unparseable description fails the whole
+                # localize_text([...]) call): retry each request alone so
+                # every client gets ITS OWN outcome.
+                for r in part:
+                    self._dispatch(kind, [r], isolate_on_error=False)
+            else:
+                for r in part:
+                    _fail(r.future, e)
             return
         for i, r in enumerate(part):
-            r.future.set_result(LocalizationResult(
+            _complete(r.future, LocalizationResult(
                 position_w=res.position_w[i],
                 candidates_w=res.candidates_w[i],
                 cell_indices=res.cell_indices[i],
                 scores=res.scores[i],
             ))
+
+    def _padded_triples(self, part: List[_Request]):
+        """Stack per-request [s] triples into fixed-shape [G, S] arrays.
+
+        Requests may carry different hint counts; every dispatch pads to the
+        MODEL's native hint slot count (cfg.model.num_mentioned) — not the
+        group max — so the sentence axis is one constant shape and the front
+        end never compiles a new XLA program mid-serve (compiles cost
+        minutes over a remote tunnel). Pad slots hold triple (0, 0, 0) with
+        mask False, the text.parse_descriptions convention that keeps them
+        out of attention/pooling. A query LONGER than the native count is
+        served at the group max instead (correctness first; such a group
+        pays a one-time compile for its size, like any nonstandard shape).
+        """
+        s_fixed = int(self.localizer.cfg.model.num_mentioned)
+        s_max = max(s_fixed, max(len(r.payload[0]) for r in part))
+
+        def _col(col, fill):
+            rows = []
+            for r in part:
+                a = r.payload[col]
+                if len(a) < s_max:
+                    a = np.concatenate(
+                        [a, np.full(s_max - len(a), fill, a.dtype)]
+                    )
+                rows.append(a)
+            return np.stack(rows)
+
+        return _col(0, 0), _col(1, 0), _col(2, 0), _col(3, False)

@@ -22,12 +22,14 @@ from __future__ import annotations
 
 import json
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
 from text2loc_tpu.serving_frontend import BatchingFrontend
+from text2loc_tpu.text import HintParseError
 
 
 def _result_json(res) -> dict:
@@ -91,8 +93,17 @@ def make_handler(frontend: BatchingFrontend, timeout_s: float):
                                      "need 'description' or 'hints'"})
                     return
                 res = fut.result(timeout=timeout_s)
-            except Exception as e:  # noqa: BLE001 — report, don't crash
+            except FuturesTimeoutError as e:
+                # Backend stall (e.g. a cold multi-minute XLA compile), not
+                # a caller fault: 504 so clients/load-balancers retry.
+                self._send(504, {"error": f"TimeoutError: {e}"})
+                return
+            except (ValueError, TypeError, KeyError,
+                    json.JSONDecodeError, HintParseError) as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except Exception as e:  # noqa: BLE001 — report, don't crash
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._send(200, _result_json(res))
 
@@ -181,6 +192,9 @@ def main(argv=None):
     ap.add_argument("--serve_top_k", type=int, default=None,
                     help="candidates refined per query (default: "
                          "max(eval top_k))")
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip pre-compiling the 1- and max_batch-bucket "
+                         "serve programs before accepting traffic")
     args = ap.parse_args(argv)
 
     cfg, data = _load(args)
@@ -213,6 +227,18 @@ def main(argv=None):
         cfg, top_k=args.serve_top_k or max(cfg.eval.top_k),
         cache_path=args.cache_path, online_encoder=online,
     )
+    # Warm the two bucket extremes (a lone request and a full drain) BEFORE
+    # accepting traffic: over the remote-compile tunnel a cold XLA build
+    # takes minutes, which would otherwise surface as first-client 504s.
+    if not args.no_warmup:
+        mask = np.asarray(data.hint_mask[:1], bool)
+        for b in {1, args.max_batch}:
+            reps = np.zeros(b, np.int64)
+            print(f"warmup: bucket {b}", flush=True)
+            loc.localize(data.hint_dir[reps], data.hint_color[reps],
+                         data.hint_label[reps],
+                         sentence_mask=mask[np.zeros(b, np.int64)])
+
     frontend = BatchingFrontend(loc, max_batch=args.max_batch,
                                 max_wait_s=args.max_wait_ms / 1000.0)
     with LocalizationServer(frontend, host=args.host, port=args.port) as srv:
