@@ -37,7 +37,7 @@ def _cacheless_env() -> dict:
     return env
 
 
-def run_cacheless_child(test_file: str, k: str, timeout: int = 1200) -> bool:
+def run_cacheless_child(test_file: str, k: str, timeout: int = 3600) -> bool:
     """Poisoned-CPU-AOT-cache workaround (shared by any test it bites).
 
     On this stack CPU executables are AOT-compiled remotely for a different

@@ -148,7 +148,13 @@ def _spawn(num_procs, proc_id, port, out_path, local_devices):
     )
 
 
-def _wait(proc, tag, timeout=900):
+def _wait(proc, tag, timeout=2700):
+    # Fresh (cacheless) XLA compiles go through the remote-compile tunnel at
+    # minutes per program regardless of size; a slow tunnel day measured
+    # 313 s for ONE train-step compile, and the three children here compile
+    # concurrently with the rest of the suite's cacheless children. 900 s
+    # flaked on exactly that (round 4); the budget is compile-bound, not
+    # compute-bound.
     out, err = proc.communicate(timeout=timeout)
     assert proc.returncode == 0, (
         f"{tag} failed (rc={proc.returncode}):\n{out[-3000:]}\n{err[-3000:]}"

@@ -136,7 +136,7 @@ def test_dp_coarse_step_with_fused_sa_island(
     the poisoned-CPU-AOT-cache issue, see conftest.run_cacheless_child."""
     from conftest import run_cacheless_child
 
-    if not run_cacheless_child(__file__, "fused_sa_island", timeout=900):
+    if not run_cacheless_child(__file__, "fused_sa_island"):
         return
 
     monkeypatch.setenv("TEXT2LOC_FUSED_SA_TRAIN", "interpret")
