@@ -194,3 +194,55 @@ def test_mixed_precision_body_dtype_learns():
     flat = jax.tree_util.tree_flatten_with_path(moved)[0]
     pn_moves = [v for k, v in flat if "pointnet" in jax.tree_util.keystr(k)]
     assert pn_moves and max(pn_moves) > 0.0, "pointnet params did not move"
+
+
+def test_stage_auto_hbm_budget(monkeypatch):
+    """The fused-SA "auto" tokens are HBM-aware: when the cached-edge
+    residuals (one [N, S*K, H1] tensor per e/e32 level, linear in batch)
+    would exceed the per-chip budget, auto degrades the cached levels to
+    the recompute kernel instead of OOMing — the measured-safe config
+    (coarse batch 256 OOMs under (e32,e32,1) on the 16 GB v5e but runs
+    all-recompute; scripts/probe_batch_scaling.py)."""
+    from text2loc_tpu.config import Config, ModelConfig, TrainConfig
+    from text2loc_tpu.training import steps as steps_lib
+
+    monkeypatch.delenv("TEXT2LOC_FUSED_SA_ECACHE_GB", raising=False)
+    cfg = Config(model=ModelConfig(), train=TrainConfig()).validate()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, body_dtype="float32"))
+
+    def coarse_auto(batch, n_shards=1, triplet=False):
+        n = (-(-batch // n_shards)) * cfg.model.object_size * (2 if triplet else 1)
+        return steps_lib._stage_auto(
+            cfg, steps_lib.COARSE_FUSED_TRAIN_AUTO, n)
+
+    # Default batches keep the measured per-level winners.
+    assert coarse_auto(32) == ("e32", "e32", "1")
+    assert coarse_auto(128) == ("e32", "e32", "1")
+    # The measured-OOM point degrades every cached level to recompute.
+    assert coarse_auto(256) == ("1", "1", "1")
+    # Triplet keeps both towers' residuals live: half the batch budget.
+    assert coarse_auto(128, triplet=True) == ("1", "1", "1")
+    # DP shards the object batch: global 256 over 8 chips is per-chip 32.
+    assert coarse_auto(256, n_shards=8) == ("e32", "e32", "1")
+    # Env budget override wins in both directions.
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_ECACHE_GB", "100")
+    assert coarse_auto(256) == ("e32", "e32", "1")
+    monkeypatch.setenv("TEXT2LOC_FUSED_SA_ECACHE_GB", "0.001")
+    assert coarse_auto(32) == ("1", "1", "1")
+    monkeypatch.delenv("TEXT2LOC_FUSED_SA_ECACHE_GB")
+
+    # Fine stage: pad_size clouds per sample; same guard. Batch 256 (8.6 GB
+    # of e cache) measured WORKING on-chip, so it must stay cached.
+    n_fine = 256 * cfg.model.pad_size
+    assert steps_lib._stage_auto(
+        cfg, steps_lib.FINE_FUSED_TRAIN_AUTO, n_fine
+    ) == ("0", "e32", "e32")
+    assert steps_lib._stage_auto(
+        cfg, steps_lib.FINE_FUSED_TRAIN_AUTO, 2 * n_fine
+    ) == ("0", "1", "1")
+
+    # Non-f32 bodies keep returning None (env/default handling downstream).
+    bf = cfg.replace(model=dataclasses.replace(cfg.model, body_dtype="bfloat16"))
+    assert steps_lib._stage_auto(
+        bf, steps_lib.COARSE_FUSED_TRAIN_AUTO, 10**9) is None

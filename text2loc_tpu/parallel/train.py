@@ -98,7 +98,9 @@ def make_dp_coarse_train_step(
     reference's dead NT_Xent/GatherLayer, losses.py:358-402) holds because the
     similarity matrix spans the full sharded batch.
     """
-    step = steps_lib.make_coarse_train_step(model, embedder, cfg, optimizer)
+    step = steps_lib.make_coarse_train_step(
+        model, embedder, cfg, optimizer, n_shards=mesh.shape[axis_name]
+    )
     return _bind(step, mesh, axis_name)
 
 
@@ -112,7 +114,9 @@ def make_dp_fine_train_step(
 ) -> Callable:
     """DP version of the fine offset-regression train step (pure DP: the MSE
     loss is a mean over the sharded batch, psum'd by GSPMD)."""
-    step = steps_lib.make_fine_train_step(model, embedder, cfg, optimizer)
+    step = steps_lib.make_fine_train_step(
+        model, embedder, cfg, optimizer, n_shards=mesh.shape[axis_name]
+    )
     return _bind(step, mesh, axis_name)
 
 

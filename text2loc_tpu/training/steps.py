@@ -13,6 +13,8 @@ equivalent of the reference's dead NT_Xent/GatherLayer path, losses.py:386-387).
 from __future__ import annotations
 
 import functools
+import logging
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -138,21 +140,69 @@ def prepare_negative_objects(batch, cfg: Config, rng) -> ObjectSet:
 COARSE_FUSED_TRAIN_AUTO = ("e32", "e32", "1")
 FINE_FUSED_TRAIN_AUTO = ("0", "e32", "e32")
 
+# HBM budget for the cached-edge residuals, GB per chip (env
+# TEXT2LOC_FUSED_SA_ECACHE_GB overrides). The cached-e kernels write one
+# [N_clouds, S*K, H1] tensor per cached level that stays live as an AD
+# residual until the backward — linear in batch size, and by far the
+# largest allocation of a cached-edge train step. Measured anchors on the
+# 16 GB v5e (scripts/probe_batch_scaling.py): fine batch 256 under the
+# (0, e32, e32) auto = 8.6 GB of e cache, runs; coarse batch 256 under
+# (e32, e32, 1) = 11.3 GB, OOMs; the all-recompute kernel (edges stay in
+# VMEM) runs coarse 256 fine at 1011 ms/step. 9 GB sits between the
+# measured-good and measured-bad anchors.
+_ECACHE_BUDGET_GB = 9.0
 
-def _stage_auto(cfg: Config, tokens):
+
+def _ecache_gb(cfg: Config, tokens, n_clouds: int) -> float:
+    """Estimated HBM bytes (in GB) of the cached-edge residuals for one
+    train step: sum over e/e32 levels of n_clouds * S * K * H1 * itemsize.
+    Slight underestimate (the kernel pads N up to its grid tile), covered
+    by the budget's headroom."""
+    pn = cfg.model.pointnet
+    total = 0
+    for i, tok in enumerate(tokens):
+        if tok not in ("e", "e32"):
+            continue
+        itemsize = 4 if tok == "e32" else 2
+        total += (n_clouds * pn.sa_num_points[i] * pn.sa_max_neighbors
+                  * pn.sa_mlps[i][1] * itemsize)
+    return total / 1e9
+
+
+def _stage_auto(cfg: Config, tokens, n_clouds: int = 0):
+    """Resolve the stage's fused-SA auto tokens, HBM-aware.
+
+    `n_clouds` is the per-chip point-cloud count of one step (batch x
+    object slots, doubled for triplet's live second tower). When the
+    cached-edge residuals would exceed the budget, every e/e32 token
+    degrades to "1" (the recompute kernel, whose edges live only in VMEM)
+    instead of OOMing — the measured-safe large-batch config. An explicit
+    TEXT2LOC_FUSED_SA_TRAIN env value still bypasses auto entirely."""
     n = len(cfg.model.pointnet.sa_mlps)
     body = cfg.model.body_dtype or cfg.model.train_dtype
     if len(tokens) != n or body != "float32":
         return None
+    budget = float(os.environ.get(
+        "TEXT2LOC_FUSED_SA_ECACHE_GB", _ECACHE_BUDGET_GB))
+    gb = _ecache_gb(cfg, tokens, n_clouds)
+    if gb > budget:
+        logging.getLogger(__name__).info(
+            "fused-SA auto: est. %.1f GB of cached-edge residuals exceeds "
+            "the %.1f GB budget (TEXT2LOC_FUSED_SA_ECACHE_GB); using the "
+            "recompute kernel for the cached levels", gb, budget)
+        tokens = tuple("1" if t in ("e", "e32") else t for t in tokens)
     return tokens
 
 
 def make_coarse_train_step(model: CellRetrievalNetwork, embedder: HintTextEmbedder,
-                           cfg: Config, optimizer) -> Callable:
+                           cfg: Config, optimizer, *, n_shards: int = 1) -> Callable:
     is_triplet = cfg.train.loss.ranking_loss == "triplet"
     margin = cfg.train.loss.margin
     loss_fn_sel = None if is_triplet else losses.make_retrieval_loss(cfg.train.loss)
-    auto = _stage_auto(cfg, COARSE_FUSED_TRAIN_AUTO)
+    # Triplet keeps BOTH towers' SA residuals live until the backward.
+    n_clouds = (-(-cfg.train.batch_size // n_shards) * cfg.model.object_size
+                * (2 if is_triplet else 1))
+    auto = _stage_auto(cfg, COARSE_FUSED_TRAIN_AUTO, n_clouds)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -253,9 +303,10 @@ def prepare_fine_batch(batch, embedder: HintTextEmbedder, cfg: Config, rng,
 
 
 def make_fine_train_step(model: CrossMatch, embedder: HintTextEmbedder,
-                         cfg: Config, optimizer) -> Callable:
+                         cfg: Config, optimizer, *, n_shards: int = 1) -> Callable:
     offset_lambda = cfg.train.offset_lambda
-    auto = _stage_auto(cfg, FINE_FUSED_TRAIN_AUTO)
+    n_clouds = -(-cfg.train.batch_size // n_shards) * cfg.model.pad_size
+    auto = _stage_auto(cfg, FINE_FUSED_TRAIN_AUTO, n_clouds)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
