@@ -30,10 +30,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _cacheless_env() -> dict:
     env = dict(os.environ)
     env["TEXT2LOC_CACHELESS_CHILD"] = "1"
     env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+    # Children must import text2loc_tpu without a pip install and regardless
+    # of the parent's cwd (pytest only puts the INVOCATION cwd on sys.path).
+    env["PYTHONPATH"] = _REPO_ROOT + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     return env
 
 

@@ -134,16 +134,23 @@ def _free_port() -> int:
 
 
 def _spawn(num_procs, proc_id, port, out_path, local_devices):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_ENABLE_COMPILATION_CACHE"] = "false"  # poisoned-AOT-cache guard
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
     )
+    # The child runs this file as a SCRIPT, so sys.path[0] is tests/, not the
+    # repo root — `import text2loc_tpu` must not depend on the package being
+    # pip-installed (it isn't, on a clean checkout).
+    env["PYTHONPATH"] = repo_root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "child",
          str(num_procs), str(proc_id), str(port), out_path],
-        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, cwd=repo_root,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
 

@@ -82,9 +82,14 @@ def test_build_t5_table_real_weights(tmp_path):
     script = os.path.join(os.path.dirname(__file__), "..", "scripts",
                           "build_t5_table.py")
     out = tmp_path / "t5_table.npz"
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     proc = subprocess.run(
         [sys.executable, script, "--t5", _local_t5(), "--out", str(out)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     assert proc.returncode == 0, proc.stderr
     info = json.loads(proc.stdout.strip().splitlines()[-1])
