@@ -75,6 +75,10 @@ def build_argparser():
                          "weights and report exact-vs-fused agreement")
     ap.add_argument("--synthetic", action="store_true",
                     help="fixture mode: synthetic scenes, no assets needed")
+    ap.add_argument("--small_model", action="store_true",
+                    help="small_test_config towers over a REAL --base_path "
+                         "(the parity-drill test tier: real ingest + real "
+                         "pipeline, minutes-not-hours compiles)")
     ap.add_argument("--out", default=None, help="write the report JSON here")
     return ap
 
@@ -225,8 +229,9 @@ def main(argv=None):
     from text2loc_tpu.evaluation.pipeline import run_pipeline
     from text2loc_tpu.models.text_embedding import HintTextEmbedder, make_embedder
 
-    cfg = small_test_config() if args.synthetic else Config().validate()
-    if args.synthetic:
+    small = args.synthetic or args.small_model
+    cfg = small_test_config() if small else Config().validate()
+    if small:
         cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, top_k=(1, 3, 5)))
     if (args.coarse_torch_ckpt or args.fine_torch_ckpt) \
             and not args.no_reference_attention:
@@ -292,6 +297,13 @@ def main(argv=None):
             "retrieval_recall": {int(k): float(v) for k, v in racc.items()},
             "localization_top1": {float(t): float(v)
                                   for t, v in loc_top1.items()},
+            # The full k x thresh tables (the reference's published output
+            # protocol, evaluation/utils.py:57-69) — what print_accuracies
+            # renders and what the parity drill goldens.
+            "coarse_table": {str(k): {str(t): float(v) for t, v in row.items()}
+                             for k, row in r["coarse"].items()},
+            "fine_table": {str(k): {str(t): float(v) for t, v in row.items()}
+                           for k, row in r["fine"].items()},
             "fine_qps": r["fine_qps"],
             "rows": [
                 {"metric": lbl, "measured": m, "target": tgt, "delta": d,
@@ -308,9 +320,10 @@ def main(argv=None):
             )
 
     report["pass"] = overall_pass
-    if args.synthetic:
-        # Untrained towers on synthetic scenes: targets are meaningless, the
-        # fixture run only proves the plumbing end to end.
+    if small:
+        # Untrained/fixture towers (synthetic scenes or small_test_config
+        # dims): targets are meaningless, the run only proves the plumbing
+        # end to end.
         report["pass"] = None
         print("\n(fixture mode: PASS/FAIL verdicts are plumbing-only)")
     else:

@@ -6,6 +6,7 @@ recovery and cross-run comparisons trustworthy.
 """
 
 import jax
+import pytest
 import numpy as np
 
 from text2loc_tpu.evaluation.retrieval import eval_retrieval
@@ -29,6 +30,7 @@ def _run_once(cfg, embedder, data):
     return losses, acc, idx
 
 
+@pytest.mark.slow
 def test_training_and_eval_deterministic(small_cfg, small_embedder, small_data):
     l1, a1, i1 = _run_once(small_cfg, small_embedder, small_data)
     l2, a2, i2 = _run_once(small_cfg, small_embedder, small_data)

@@ -2,9 +2,12 @@
 
 import os
 
+import pytest
+
 import numpy as np
 
 
+@pytest.mark.slow
 def test_pipeline_cli_with_plots(tmp_path):
     from text2loc_tpu.evaluation.cli import main_pipeline
 
@@ -93,6 +96,7 @@ def test_coarse_cli_loads_torch_checkpoint(tmp_path):
             assert 0.0 <= v <= 1.0
 
 
+@pytest.mark.slow
 def test_pipeline_cli_restores_checkpoints(small_cfg, small_embedder, small_data, tmp_path):
     """--coarse_ckpt restore path: train -> Orbax dir -> eval CLI."""
     import dataclasses

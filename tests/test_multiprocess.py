@@ -27,6 +27,7 @@ import socket
 import subprocess
 import sys
 
+import pytest
 import numpy as np
 
 N_STEPS = 2
@@ -168,6 +169,7 @@ def _wait(proc, tag, timeout=2700):
     )
 
 
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path):
     """2-process DP (4 local devices each, Gloo collectives) reproduces the
     single-process 8-device DP loss trajectory and final params.

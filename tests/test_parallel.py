@@ -122,6 +122,7 @@ def test_dp_coarse_step_matches_single_chip(small_cfg, small_embedder, small_dat
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_dp_coarse_step_with_fused_sa_island(
     small_cfg, small_embedder, small_data, monkeypatch
 ):

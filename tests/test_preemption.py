@@ -50,6 +50,7 @@ def _batches(data, cfg, n):
     ]
 
 
+@pytest.mark.slow
 def test_dp_preemption_resume_bitwise(small_cfg, small_embedder, small_data,
                                       tmp_path):
     """save -> kill -> restore -> re-replicate -> resume reproduces the
@@ -125,6 +126,7 @@ def test_dp_preemption_resume_bitwise(small_cfg, small_embedder, small_data,
     )
 
 
+@pytest.mark.slow
 def test_elastic_resume_across_mesh_sizes(small_cfg, small_embedder,
                                           small_data, tmp_path):
     """Elastic recovery (SURVEY §5.3): a checkpoint taken mid-run on an

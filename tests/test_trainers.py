@@ -3,6 +3,7 @@
 import dataclasses
 import os
 
+import pytest
 import numpy as np
 
 from text2loc_tpu.training.coarse import train_coarse
@@ -83,6 +84,7 @@ def test_trainers_compute_in_train_dtype(small_cfg, small_embedder, small_data):
         assert leaf.dtype == np.float32, leaf.dtype
 
 
+@pytest.mark.slow
 def test_train_fine_runs(small_cfg, small_embedder, small_data):
     cfg = _small_two_epoch(small_cfg)
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, pmc_prob=0.5))

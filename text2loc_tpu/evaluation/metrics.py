@@ -73,6 +73,10 @@ def print_accuracies(accs: Dict[int, Dict[float, float]], name: str = "") -> str
     for k in top_k:
         row += "\t" + "/".join(f"{accs[k][t]:0.4f}" for t in threshs)
     lines.append(row)
-    text = "\n".join(lines) + "\n"
+    # Trailing blank lines match the reference's stream byte-for-byte (its
+    # final `print("\n\n")` emits three newlines after the row; ours is
+    # text + print's own newline). Byte-parity is pinned against the
+    # reference function itself in tests/test_parity_drill.py.
+    text = "\n".join(lines) + "\n\n"
     print(text, flush=True)
     return text
