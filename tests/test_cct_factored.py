@@ -49,6 +49,7 @@ def _assert_factored_equal(fwd, params, stats, obj, obj_mask, hints, sm):
 
 @pytest.mark.parametrize("n_layers", [2, 0])
 @pytest.mark.parametrize("mask_padded", [True, False])
+@pytest.mark.slow
 def test_cct_tail_equals_cct(small_cfg, small_embedder, small_data,
                              n_layers, mask_padded):
     cfg = small_cfg.replace(model=dataclasses.replace(

@@ -17,6 +17,7 @@ def test_pipeline_cli_with_plots(tmp_path):
     assert os.path.exists(png)
 
 
+@pytest.mark.slow
 def test_coarse_cli():
     from text2loc_tpu.evaluation.cli import main_coarse
 

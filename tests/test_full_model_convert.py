@@ -267,6 +267,7 @@ def _assert_tree_match(converted, init_tree, what):
     assert got == want, f"{what} tree mismatch"
 
 
+@pytest.mark.slow
 def test_cell_retrieval_checkpoint_round_trip():
     torch.manual_seed(0)
     ref = RefCellRetrieval().eval()
@@ -298,6 +299,7 @@ def test_cell_retrieval_checkpoint_round_trip():
     np.testing.assert_allclose(np.asarray(got_text), want_text, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_cross_matcher_checkpoint_round_trip():
     torch.manual_seed(1)
     ref = RefCrossMatch().eval()
@@ -367,6 +369,7 @@ def make_reference_coarse_state_dict(mcfg):
     return tower.state_dict()
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_cli_round_trip(tmp_path):
     """scripts/convert_checkpoint.py: published .pth -> Orbax checkpoint that
     restores into a fresh state with the converted weights."""

@@ -8,6 +8,8 @@ objects by class/color/direction), so a working pipeline must separate cells.
 import dataclasses
 
 import jax
+import pytest
+
 import numpy as np
 
 from text2loc_tpu.evaluation.retrieval import eval_retrieval
@@ -15,6 +17,7 @@ from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
 from text2loc_tpu.training import steps
 
 
+@pytest.mark.slow
 def test_coarse_training_learns(small_cfg, small_embedder, small_data):
     cfg = small_cfg.replace(
         train=dataclasses.replace(

@@ -1,6 +1,8 @@
 """Serving API: gallery held on device, batched text->position queries."""
 
 import jax
+import pytest
+
 import numpy as np
 
 from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
@@ -196,6 +198,7 @@ def test_localizer_sharded_oov_equals_dense(small_cfg, small_embedder,
     np.testing.assert_allclose(a.position_w, b.position_w, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
                                            small_data, tmp_path, monkeypatch):
     """cache_path persists the coarse gallery + fine cell cache; a restart
@@ -263,6 +266,7 @@ def test_localizer_gallery_cache_roundtrip(small_cfg, small_embedder,
     np.testing.assert_allclose(a.candidates_w, c.candidates_w, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_localizer_gallery_cache_roundtrip_bf16(small_cfg, small_embedder,
                                                 small_data, tmp_path,
                                                 monkeypatch):

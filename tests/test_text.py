@@ -85,6 +85,7 @@ def test_render_description_masked_inverse():
                     "The pose is west of a green terrain.")
 
 
+@pytest.mark.slow
 def test_localize_text_end_to_end(small_cfg, small_embedder, small_data):
     """Serving from raw strings: parse -> embed -> retrieve -> refine."""
     from test_serving import _states

@@ -14,6 +14,7 @@ def _small_two_epoch(cfg):
     return cfg.replace(train=dataclasses.replace(cfg.train, epochs=2, batch_size=8))
 
 
+@pytest.mark.slow
 def test_train_coarse_with_checkpointing(small_cfg, small_embedder, small_data, tmp_path):
     cfg = _small_two_epoch(small_cfg)
     state, model, logger = train_coarse(
@@ -122,6 +123,7 @@ def test_checkpoint_round_trip(small_cfg, small_embedder, small_data, tmp_path):
     mgr2.close()
 
 
+@pytest.mark.slow
 def test_train_coarse_resume(small_cfg, small_embedder, small_data, tmp_path):
     import dataclasses
 
