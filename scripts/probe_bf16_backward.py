@@ -71,7 +71,7 @@ def grad_zero_leaves(dtype_name):
         )
         return losses.contrastive_loss(
             text_enc.astype("float32"), cell_enc.astype("float32"),
-            temperature=cfg.train.temperature,
+            temperature=cfg.train.loss.temperature,
         )
 
     loss, grads = jax.jit(jax.value_and_grad(loss_fn))(state.params)
