@@ -29,6 +29,7 @@ import numpy as np
 
 from text2loc_tpu.config import Config
 from text2loc_tpu.data.arrays import MultiSceneArrays
+from text2loc_tpu.data.prefetch import maybe_prefetch
 from text2loc_tpu.evaluation.retrieval import eval_retrieval
 from text2loc_tpu.models.cell_retrieval import CellRetrievalNetwork
 from text2loc_tpu.models.text_embedding import HintTextEmbedder
@@ -108,7 +109,10 @@ def train_coarse(
             steps_lib.make_coarse_train_step(model, embedder, cfg, optimizer),
             donate_argnums=(0,),
         )
-        put = lambda b: b
+        # Device-stage inputs: uploading inside the jitted call serializes the
+        # host->device copy with the step (BENCHMARKS log #18 — the copy can
+        # cost more than the step). The prefetcher below calls this off-thread.
+        put = jax.device_put
 
     logger = MetricLogger(f"{workdir}/coarse_metrics.jsonl" if workdir else None)
     ckpt = None
@@ -150,13 +154,21 @@ def train_coarse(
     for epoch in range(start_epoch, t.epochs):
         perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
         losses = []
-        with timer.stage("train_epoch"):
+
+        def epoch_batches(perm=perm):
+            # Runs on the prefetch worker thread, IN ORDER — the host RNG
+            # streams (close/negative draws) advance exactly as in a serial
+            # loop, so prefetched training is bitwise-identical
+            # (tests/test_prefetch.py).
             for bstart in range(0, len(perm), t.batch_size):
                 idx = perm[bstart : bstart + t.batch_size]
-                batch = put(data_train.gather_coarse(
+                yield data_train.gather_coarse(
                     idx, cfg.model.object_size, sample_close_rng=close_rng,
                     negative_rng=neg_rng,
-                ))
+                )
+
+        with timer.stage("train_epoch"):
+            for batch in maybe_prefetch(epoch_batches(), put=put):
                 rng, srng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, srng)
                 losses.append(metrics["loss"])

@@ -30,6 +30,7 @@ import optax
 from text2loc_tpu.config import Config
 from text2loc_tpu.data.arrays import MultiSceneArrays
 from text2loc_tpu.data.pmc import sample_pmc
+from text2loc_tpu.data.prefetch import maybe_prefetch
 from text2loc_tpu.models.cross_matcher import CrossMatch
 from text2loc_tpu.models.text_embedding import HintTextEmbedder
 from text2loc_tpu.training import steps as steps_lib
@@ -134,7 +135,8 @@ def train_fine(
             steps_lib.make_fine_train_step(model, embedder, cfg, optimizer),
             donate_argnums=(0,),
         )
-        put = lambda b: b
+        # Device-stage inputs off-thread (see training/coarse.py + log #18).
+        put = jax.device_put
 
     logger = MetricLogger(f"{workdir}/fine_metrics.jsonl" if workdir else None)
     ckpt = None
@@ -163,19 +165,27 @@ def train_fine(
     for epoch in range(start_epoch, t.epochs):
         perm = order_rng.permutation(n_train)[: steps_per_epoch * t.batch_size]
         losses, errors = [], []
-        with timer.stage("train_epoch"):
+
+        def epoch_batches(perm=perm):
+            # Prefetch-worker generator; order_rng's PMC draws advance in
+            # serial-loop order (single worker — see data/prefetch.py). The
+            # epoch's perm was already drawn above, and the next epoch's perm
+            # is not drawn until this generator is fully consumed.
             for bstart in range(0, len(perm), t.batch_size):
                 idx = perm[bstart : bstart + t.batch_size]
                 # PMC draw (no-op when tables are absent or pmc_prob == 0).
                 cell_idx, hint_obj = sample_pmc(
                     data_train, idx, order_rng, t.pmc_prob
                 )
-                batch = data_train.gather_fine(
+                yield data_train.gather_fine(
                     idx, cfg.model.pad_size,
                     cell_indices=cell_idx, hint_obj_idx=hint_obj,
                 )
+
+        with timer.stage("train_epoch"):
+            for batch in maybe_prefetch(epoch_batches(), put=put):
                 rng, srng = jax.random.split(rng)
-                state, metrics = step_fn(state, put(batch), srng)
+                state, metrics = step_fn(state, batch, srng)
                 losses.append(metrics["loss"])
                 errors.append(metrics["pose_error"])
         block_on(losses[-1] if losses else None)
