@@ -131,6 +131,7 @@ def main(argv=None):
 
     enable_compile_cache()
 
+    import jax
     import numpy as np
 
     from text2loc_tpu.config import Config
