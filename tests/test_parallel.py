@@ -43,6 +43,33 @@ def test_sharded_topk_matches_dense():
     assert np.all(same | ties)
 
 
+def test_approx_topk_knob(monkeypatch):
+    """TEXT2LOC_APPROX_TOPK=1 routes topk_retrieval through approx_max_k
+    (measured on-chip in BENCHMARKS log #21; exact selection stays the
+    default). The env is read per call (static jit key), so flipping it
+    without rebuilding callers' closures only works for direct calls like
+    this one — jit-embedding callers must rebuild (CLAUDE.md)."""
+    from text2loc_tpu.evaluation.retrieval import topk_retrieval
+
+    rng = np.random.default_rng(1)
+    cells = rng.standard_normal((128, 16)).astype(np.float32)
+    cells /= np.linalg.norm(cells, axis=1, keepdims=True)
+    texts = rng.standard_normal((9, 16)).astype(np.float32)
+    texts /= np.linalg.norm(texts, axis=1, keepdims=True)
+
+    k = 5
+    ex_s, ex_i = topk_retrieval(jnp.asarray(cells), jnp.asarray(texts), k)
+    monkeypatch.setenv("TEXT2LOC_APPROX_TOPK", "1")
+    ap_s, ap_i = topk_retrieval(jnp.asarray(cells), jnp.asarray(texts), k)
+    assert ap_s.shape == (9, k) and ap_i.shape == (9, k)
+    # Scores descend, and the top-1 (the exact max — no approximation can
+    # rank below a larger score on the CPU fallback) agrees with exact.
+    assert np.all(np.diff(np.asarray(ap_s), axis=1) <= 1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(ap_i[:, 0]), np.asarray(ex_i[:, 0])
+    )
+
+
 def test_merge_shard_topk_payloads():
     """The shared per-shard top-k + candidate merge helpers directly: 2-D
     (ids) and 3-D (positions) payloads ride along and land at the slots the

@@ -10,6 +10,7 @@ the mesh, per-shard top-k + ICI merge) lives in text2loc_tpu.parallel.retrieval.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -23,17 +24,36 @@ from text2loc_tpu.models.text_embedding import HintTextEmbedder
 from text2loc_tpu.training.steps import TrainState, make_coarse_encoders
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+def _approx_topk() -> bool:
+    """`TEXT2LOC_APPROX_TOPK=1` swaps `lax.top_k` for TPU `approx_max_k`
+    in gallery retrieval. Opt-in, default OFF: exact selection is the
+    reference protocol (argsort over all cells, training/coarse.py:119-125)
+    and its tie-breaking is what the parity tests pin. Read at TRACE time —
+    A/B scripts must build fresh jitted closures per variant (CLAUDE.md)."""
+    return os.environ.get("TEXT2LOC_APPROX_TOPK", "0") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _topk_impl(cell_enc: jax.Array, text_enc: jax.Array, k: int, approx: bool):
+    scores = jnp.einsum(
+        "qd,cd->qc", text_enc.astype(jnp.float32), cell_enc.astype(jnp.float32)
+    )
+    if approx:
+        # TPU-native approximate max-k (Chern et al. 2022): partial-reduce
+        # per bucket then aggregate, skipping the full [Q, C] sort. With the
+        # default recall_target (0.95) the measured top-10 overlap vs exact
+        # on unit-normalized galleries is >=0.999 (BENCHMARKS log #21).
+        return jax.lax.approx_max_k(scores, k)
+    return jax.lax.top_k(scores, k)
+
+
 def topk_retrieval(cell_enc: jax.Array, text_enc: jax.Array, k: int):
     """Top-k gallery indices per query by descending inner product.
 
     cell_enc: [C, D]; text_enc: [Q, D] (both L2-normalized by the towers).
-    Returns (scores [Q, k], indices [Q, k]).
-    """
-    scores = jnp.einsum(
-        "qd,cd->qc", text_enc.astype(jnp.float32), cell_enc.astype(jnp.float32)
-    )
-    return jax.lax.top_k(scores, k)
+    Returns (scores [Q, k], indices [Q, k]). Selection is exact `lax.top_k`
+    unless TEXT2LOC_APPROX_TOPK=1 (see `_approx_topk`)."""
+    return _topk_impl(cell_enc, text_enc, k, _approx_topk())
 
 
 def _batched(n: int, batch: int):
