@@ -20,9 +20,12 @@ from text2loc_tpu.parallel.train import make_dp_coarse_train_step, replicate_sta
 from text2loc_tpu.training import steps as steps_lib
 
 
-def test_sharded_topk_matches_dense():
+def test_sharded_topk_matches_dense(monkeypatch):
     from text2loc_tpu.evaluation.retrieval import topk_retrieval
 
+    # The dense reference must be the EXACT selection this test's contract
+    # (and parallel/retrieval.py's docstring) assume, knob or no knob.
+    monkeypatch.delenv("TEXT2LOC_APPROX_TOPK", raising=False)
     rng = np.random.default_rng(0)
     cells = rng.standard_normal((37, 16)).astype(np.float32)
     cells /= np.linalg.norm(cells, axis=1, keepdims=True)
@@ -58,6 +61,9 @@ def test_approx_topk_knob(monkeypatch):
     texts /= np.linalg.norm(texts, axis=1, keepdims=True)
 
     k = 5
+    # Pin the baseline to exact even if the knob leaked in from the caller's
+    # environment (otherwise this A/B compares approx with itself).
+    monkeypatch.delenv("TEXT2LOC_APPROX_TOPK", raising=False)
     ex_s, ex_i = topk_retrieval(jnp.asarray(cells), jnp.asarray(texts), k)
     monkeypatch.setenv("TEXT2LOC_APPROX_TOPK", "1")
     ap_s, ap_i = topk_retrieval(jnp.asarray(cells), jnp.asarray(texts), k)
